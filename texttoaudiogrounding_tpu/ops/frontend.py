@@ -1,0 +1,239 @@
+"""Log-mel spectrogram frontend, TPU-native.
+
+Replicates the semantics of the reference's torchaudio frontend
+(reference: models/audio_encoder.py:107-124 for Cnn8Rnn — 32 ms window,
+10 ms hop, 64 slaney-normalized slaney-scale mels, f 50-14000 Hz;
+models/audio_encoder.py:29-37 for the CDur variant — n_fft 2048, 40 ms
+window, 20 ms hop, HTK defaults; followed by ``AmplitudeToDB`` i.e.
+``10*log10(clamp(power, 1e-10))`` with ``top_db=None``).
+
+TPU-first design: instead of an FFT, the windowed DFT is expressed as a
+single strided convolution whose kernel is the window-weighted real/imag DFT
+basis.  XLA lowers that conv straight onto the MXU and fuses the squaring;
+no ``[B, T, n_fft]`` frame tensor is ever materialized in HBM.  The mel
+projection is one more matmul.  A ``jnp.fft.rfft`` path is kept for
+cross-checking.
+
+Frame count with center (reflect) padding is ``floor(num_samples / hop) + 1``,
+which is exactly the length arithmetic the reference's encoders rely on
+(models/audio_encoder.py:219-227).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class LogMelConfig:
+    sample_rate: int = 32000
+    n_fft: int = 1024
+    win_length: int = 1024
+    hop_length: int = 320
+    n_mels: int = 64
+    f_min: float = 0.0
+    f_max: float | None = None
+    norm: str | None = None          # None or "slaney"
+    mel_scale: str = "htk"           # "htk" or "slaney"
+    amin: float = 1e-10              # AmplitudeToDB clamp floor
+    top_db: float | None = None
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+    @property
+    def effective_f_max(self) -> float:
+        return self.f_max if self.f_max is not None else self.sample_rate / 2
+
+
+def cnn8rnn_mel_config(sample_rate: int = 32000) -> LogMelConfig:
+    """Frontend of the primary Cnn8Rnn encoder (reference
+    models/audio_encoder.py:107-123): win = 32 ms = n_fft, hop = 10 ms,
+    f 50..14000 (32 kHz) with slaney norm + slaney scale."""
+    win = int(0.032 * sample_rate)
+    f_max = 14000.0 if sample_rate == 32000 else sample_rate / 2
+    return LogMelConfig(
+        sample_rate=sample_rate, n_fft=win, win_length=win,
+        hop_length=int(0.010 * sample_rate), n_mels=64,
+        f_min=50.0, f_max=f_max, norm="slaney", mel_scale="slaney",
+    )
+
+
+def cdur_mel_config(sample_rate: int = 32000) -> LogMelConfig:
+    """Frontend of the CDur CRNN encoder (reference
+    models/audio_encoder.py:29-36): n_fft 2048, win 40 ms, hop 20 ms,
+    torchaudio defaults (HTK scale, no norm, full band)."""
+    return LogMelConfig(
+        sample_rate=sample_rate, n_fft=2048,
+        win_length=40 * sample_rate // 1000,
+        hop_length=20 * sample_rate // 1000, n_mels=64,
+    )
+
+
+def _hz_to_mel(freq: np.ndarray, mel_scale: str) -> np.ndarray:
+    freq = np.asarray(freq, dtype=np.float64)
+    if mel_scale == "htk":
+        return 2595.0 * np.log10(1.0 + freq / 700.0)
+    # slaney: linear below 1 kHz, logarithmic above
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    mels = freq / f_sp
+    return np.where(freq >= min_log_hz,
+                    min_log_mel + np.log(freq / min_log_hz) / logstep, mels)
+
+
+def _mel_to_hz(mels: np.ndarray, mel_scale: str) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    if mel_scale == "htk":
+        return 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    freqs = f_sp * mels
+    return np.where(mels >= min_log_mel,
+                    min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs)
+
+
+def mel_filterbank(cfg: LogMelConfig) -> np.ndarray:
+    """Triangular mel filterbank ``[n_freqs, n_mels]`` (torchaudio
+    ``melscale_fbanks`` semantics, incl. slaney area normalization)."""
+    all_freqs = np.linspace(0.0, cfg.sample_rate / 2, cfg.n_freqs)
+    m_min = _hz_to_mel(np.array(cfg.f_min), cfg.mel_scale)
+    m_max = _hz_to_mel(np.array(cfg.effective_f_max), cfg.mel_scale)
+    m_pts = np.linspace(m_min, m_max, cfg.n_mels + 2)
+    f_pts = _mel_to_hz(m_pts, cfg.mel_scale)
+
+    f_diff = f_pts[1:] - f_pts[:-1]                       # [n_mels + 1]
+    slopes = f_pts[None, :] - all_freqs[:, None]          # [n_freqs, n_mels+2]
+    down = -slopes[:, :-2] / f_diff[None, :-1]
+    up = slopes[:, 2:] / f_diff[None, 1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+
+    if cfg.norm == "slaney":
+        enorm = 2.0 / (f_pts[2:cfg.n_mels + 2] - f_pts[:cfg.n_mels])
+        fb = fb * enorm[None, :]
+    return fb.astype(np.float32)
+
+
+def _hann_window(win_length: int) -> np.ndarray:
+    """Periodic Hann window (torch.hann_window default)."""
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float64)
+
+
+def _padded_window(cfg: LogMelConfig) -> np.ndarray:
+    """Window zero-padded centered to n_fft (torch.stft semantics)."""
+    win = _hann_window(cfg.win_length)
+    if cfg.win_length == cfg.n_fft:
+        return win
+    pad_left = (cfg.n_fft - cfg.win_length) // 2
+    out = np.zeros(cfg.n_fft, dtype=np.float64)
+    out[pad_left:pad_left + cfg.win_length] = win
+    return out
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_kernel(cfg: LogMelConfig) -> np.ndarray:
+    """Windowed DFT basis as a conv kernel ``[n_fft, 2 * n_freqs]``.
+
+    Column k of the first half is ``w[n] * cos(2 pi n k / n_fft)``; the
+    second half is the (negated) sine part.  A strided conv against this
+    kernel equals the windowed rFFT of each frame.
+    """
+    n = np.arange(cfg.n_fft, dtype=np.float64)[:, None]
+    k = np.arange(cfg.n_freqs, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / cfg.n_fft
+    win = _padded_window(cfg)[:, None]
+    real = win * np.cos(ang)
+    imag = -win * np.sin(ang)
+    return np.concatenate([real, imag], axis=1).astype(np.float32)
+
+
+def num_frames(num_samples, hop_length: int):
+    """Frame count with center padding: floor(n / hop) + 1.
+
+    Matches the reference length arithmetic (models/audio_encoder.py:219-223).
+    Works on python ints and arrays.
+    """
+    return num_samples // hop_length + 1
+
+
+def _reflect_pad(waveform: jax.Array, pad: int) -> jax.Array:
+    return jnp.pad(waveform, ((0, 0), (pad, pad)), mode="reflect")
+
+
+def power_spectrogram(waveform: jax.Array, cfg: LogMelConfig,
+                      use_fft: bool = False) -> jax.Array:
+    """``[B, N] -> [B, T, n_freqs]`` power spectrogram (power = 2.0).
+
+    ``use_fft=False`` (default) runs the MXU conv-DFT path; ``use_fft=True``
+    runs an explicit frame + ``jnp.fft.rfft`` path for cross-checking.
+    """
+    pad = cfg.n_fft // 2
+    x = _reflect_pad(waveform.astype(jnp.float32), pad)
+    if use_fft:
+        t = num_frames(waveform.shape[1], cfg.hop_length)
+        idx = (jnp.arange(t)[:, None] * cfg.hop_length
+               + jnp.arange(cfg.n_fft)[None, :])
+        frames = x[:, idx] * jnp.asarray(_padded_window(cfg),
+                                         dtype=jnp.float32)
+        spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
+        return (spec.real**2 + spec.imag**2).astype(jnp.float32)
+
+    kernel = jnp.asarray(_dft_kernel(cfg))          # [n_fft, 2*n_freqs]
+    out = jax.lax.conv_general_dilated(
+        x[:, :, None], kernel[:, None, :],
+        window_strides=(cfg.hop_length,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )                                                # [B, T, 2*n_freqs]
+    real, imag = out[..., :cfg.n_freqs], out[..., cfg.n_freqs:]
+    return real**2 + imag**2
+
+
+def log_mel_spectrogram(waveform: jax.Array, cfg: LogMelConfig,
+                        use_fft: bool = False) -> jax.Array:
+    """``[B, N] -> [B, T, n_mels]`` log-mel (dB) spectrogram.
+
+    Equivalent to torchaudio ``MelSpectrogram`` + ``AmplitudeToDB`` as used
+    by the reference encoders, except laid out time-major ``[B, T, mel]``
+    (the reference transposes to that layout immediately anyway,
+    models/audio_encoder.py:185).
+    """
+    power = power_spectrogram(waveform, cfg, use_fft=use_fft)
+    fb = jnp.asarray(mel_filterbank(cfg))
+    mel = jnp.einsum("btf,fm->btm", power, fb,
+                     preferred_element_type=jnp.float32)
+    log_mel = 10.0 * jnp.log10(jnp.maximum(mel, cfg.amin))
+    if cfg.top_db is not None:
+        log_mel = jnp.maximum(log_mel, jnp.max(log_mel) - cfg.top_db)
+    return log_mel
+
+
+def log_mel_spectrogram_numpy(waveform: np.ndarray,
+                              cfg: LogMelConfig) -> np.ndarray:
+    """Float64 NumPy reference implementation (golden values for tests)."""
+    waveform = np.asarray(waveform, dtype=np.float64)
+    pad = cfg.n_fft // 2
+    x = np.pad(waveform, ((0, 0), (pad, pad)), mode="reflect")
+    t = num_frames(waveform.shape[1], cfg.hop_length)
+    win = _padded_window(cfg)
+    frames = np.stack(
+        [x[:, i * cfg.hop_length:i * cfg.hop_length + cfg.n_fft] * win
+         for i in range(t)], axis=1)
+    spec = np.fft.rfft(frames, n=cfg.n_fft, axis=-1)
+    power = np.abs(spec) ** 2
+    mel = power @ mel_filterbank(cfg).astype(np.float64)
+    out = 10.0 * np.log10(np.maximum(mel, cfg.amin))
+    if cfg.top_db is not None:
+        out = np.maximum(out, out.max() - cfg.top_db)
+    return out
