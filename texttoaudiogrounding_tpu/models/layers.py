@@ -1,0 +1,194 @@
+"""Shared neural building blocks (flax.linen, NHWC layouts).
+
+TPU notes: convs/pools run NHWC (XLA's native TPU layout); the BiGRU is a
+``lax.scan`` over time via ``nn.RNN`` — like the reference, it runs over the
+*padded* sequence without packing (reference feeds padded batches straight
+into ``nn.GRU``, models/audio_encoder.py:217), so masking happens downstream
+in the pooling/loss layer.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+xavier_uniform = nn.initializers.xavier_uniform()
+
+
+class ConvBlock(nn.Module):
+    """PANNs double-conv block: (conv3x3 → BN → ReLU) x2 → pool.
+
+    Reference: models/panns.py:20-62.  ``pool_type='avg+max'`` adds the two
+    pooled maps (the Cnn8Rnn default).
+    """
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, bn_train: bool,
+                 pool_size: Sequence[int] = (2, 2),
+                 pool_type: str = "avg+max") -> jax.Array:
+        for name in ("conv1", "conv2"):
+            x = nn.Conv(self.out_channels, (3, 3), use_bias=False,
+                        padding="SAME", kernel_init=xavier_uniform,
+                        name=name)(x)
+            x = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9,
+                             epsilon=1e-5, name=name.replace("conv", "bn"))(x)
+            x = nn.relu(x)
+        window = (1, *pool_size, 1)
+        if pool_type == "max":
+            x = nn.max_pool(x, window[1:3], strides=window[1:3])
+        elif pool_type == "avg":
+            x = nn.avg_pool(x, window[1:3], strides=window[1:3])
+        elif pool_type == "avg+max":
+            x = (nn.avg_pool(x, window[1:3], strides=window[1:3])
+                 + nn.max_pool(x, window[1:3], strides=window[1:3]))
+        else:
+            raise ValueError(f"bad pool_type {pool_type}")
+        return x
+
+
+class CDurBlock(nn.Module):
+    """CDur block: BN → conv3x3(no bias) → LeakyReLU(0.1).
+
+    Reference: models/audio_encoder.py:16-22 (note BN comes *first*, over
+    the input channels).
+    """
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, bn_train: bool) -> jax.Array:
+        x = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9,
+                         epsilon=1e-5)(x)
+        x = nn.Conv(self.out_channels, (3, 3), use_bias=False, padding="SAME",
+                    kernel_init=nn.initializers.kaiming_normal())(x)
+        return nn.leaky_relu(x, negative_slope=0.1)
+
+
+def lp_pool_2d(x: jax.Array, norm_type: float,
+               window: Sequence[int]) -> jax.Array:
+    """torch ``nn.LPPool2d`` semantics on NHWC: (sum |x|^p over window)^(1/p),
+    window == stride, floor division of spatial dims."""
+    p = float(norm_type)
+    xp = jnp.power(jnp.abs(x), p)
+    summed = jax.lax.reduce_window(
+        xp, 0.0, jax.lax.add,
+        window_dimensions=(1, window[0], window[1], 1),
+        window_strides=(1, window[0], window[1], 1), padding="VALID")
+    return jnp.power(summed, 1.0 / p)
+
+
+class BiGRU(nn.Module):
+    """Bidirectional GRU over padded sequences, outputs concatenated.
+
+    Equivalent capability to torch ``nn.GRU(bidirectional=True,
+    batch_first=True)`` as used at reference models/audio_encoder.py:141.
+    Lowered by XLA as a fused ``lax.scan``; a Pallas scan-fused variant can
+    be swapped in behind the same interface.
+    """
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        fwd = nn.RNN(nn.GRUCell(self.hidden), name="fwd")(x)
+        bwd = nn.RNN(nn.GRUCell(self.hidden), reverse=True, keep_order=True,
+                     name="bwd")(x)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class GRU(nn.Module):
+    """Unidirectional or bidirectional multi-layer GRU (torch nn.GRU shape)."""
+
+    hidden: int
+    num_layers: int = 1
+    bidirectional: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i in range(self.num_layers):
+            if self.bidirectional:
+                x = BiGRU(self.hidden, name=f"layer{i}")(x)
+            else:
+                x = nn.RNN(nn.GRUCell(self.hidden), name=f"layer{i}")(x)
+        return x
+
+
+class LSTM(nn.Module):
+    hidden: int
+    num_layers: int = 1
+    bidirectional: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i in range(self.num_layers):
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden),
+                         name=f"fwd{i}")(x)
+            if self.bidirectional:
+                bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), reverse=True,
+                             keep_order=True, name=f"bwd{i}")(x)
+                x = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                x = fwd
+        return x
+
+
+def spec_augment(rng: jax.Array, x: jax.Array, time_drop_width: int = 64,
+                 time_stripes_num: int = 2, freq_drop_width: int = 8,
+                 freq_stripes_num: int = 2) -> jax.Array:
+    """SpecAugment: zero random time/freq stripes per sample.
+
+    Same drop law as torchlibrosa ``SpecAugmentation`` used at reference
+    models/audio_encoder.py:126-131 (per stripe: width ~ U[0, drop_width),
+    begin ~ U[0, T - width)), but vectorized over the batch as boolean masks
+    rather than a python loop over samples.
+
+    x: [B, T, M] log-mel.
+    """
+    b, t, m = x.shape
+    keys = jax.random.split(rng, 4)
+
+    def stripe_mask(key_d, key_b, size, num, total):
+        d = jax.random.randint(key_d, (b, num), 0, size)
+        lo = jax.random.randint(key_b, (b, num), 0,
+                                jnp.maximum(total - d, 1))
+        idx = jnp.arange(total)[None, None, :]
+        hit = (idx >= lo[..., None]) & (idx < (lo + d)[..., None])
+        return ~jnp.any(hit, axis=1)  # [B, total] True=keep
+
+    tmask = stripe_mask(keys[0], keys[1], time_drop_width, time_stripes_num, t)
+    fmask = stripe_mask(keys[2], keys[3], freq_drop_width, freq_stripes_num, m)
+    return x * tmask[:, :, None] * fmask[:, None, :]
+
+
+def do_mixup(x: jax.Array, mixup_lambda: jax.Array) -> jax.Array:
+    """Mix even-indexed samples with odd-indexed ones; halves the batch.
+
+    Reference: utils/train_util.py:73-88.
+    """
+    lam = mixup_lambda.astype(x.dtype)
+    lam = lam.reshape(lam.shape + (1,) * (x.ndim - 1))
+    return x[0::2] * lam[0::2] + x[1::2] * lam[1::2]
+
+
+class PositionalEncoding(nn.Module):
+    """Sinusoidal PE + dropout (reference models/text_encoder.py:128-144)."""
+
+    dropout: float
+    max_len: int = 100
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        d_model = x.shape[-1]
+        pos = jnp.arange(self.max_len)[:, None].astype(jnp.float32)
+        div = jnp.exp(jnp.arange(0, d_model, 2).astype(jnp.float32)
+                      * -(jnp.log(10000.0) / d_model))
+        pe = jnp.zeros((self.max_len, d_model))
+        pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+        pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+        x = x + pe[None, :x.shape[1]]
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
