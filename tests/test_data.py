@@ -1,0 +1,168 @@
+"""Data pipeline: vocab, tokenizers, collates, datasets, loader."""
+
+import json
+
+import numpy as np
+import pytest
+
+from texttoaudiogrounding_tpu.data import (
+    AudioPhraseDataset,
+    AudioPhraseEvalDataset,
+    AudioSamplePhrasesDataset,
+    DataLoader,
+    DictTokenizer,
+    TextCollate,
+    VarLenPadCollate,
+    Vocabulary,
+    build_vocab,
+)
+from tests.synthetic import make_grounding_data, make_vocab
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    wav_csv, label_json, dur_csv = make_grounding_data(root, num_audio=6)
+    vocab = make_vocab(label_json, root / "vocab.pkl")
+    return {"root": root, "wav_csv": wav_csv, "label": label_json,
+            "dur": dur_csv, "vocab": vocab}
+
+
+@pytest.fixture(scope="module")
+def wstag_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_wstag")
+    wav_csv, label_json, dur_csv = make_grounding_data(
+        root, num_audio=6, phrases_as_str=True)
+    return {"root": root, "label": label_json}
+
+
+def test_vocab_roundtrip(tmp_path):
+    vocab = build_vocab([{"tokens": "a dog barking"}],
+                        tmp_path / "vocab.pkl")
+    loaded = Vocabulary.load(tmp_path / "vocab.pkl")
+    assert loaded("dog") == vocab("dog")
+    assert loaded("zzz") == loaded.word2idx["<unk>"]
+    assert loaded.word2idx["<pad>"] == 0
+
+
+def test_dict_tokenizer(data_dir):
+    tok = DictTokenizer(data_dir["vocab"])
+    words = [w for w in data_dir["vocab"].word2idx
+             if w not in ("<pad>", "<unk>")][:3]
+    out = tok([" ".join(words[:2]), words[2]])
+    assert out["text"].shape[0] == 2
+    assert out["text_len"].tolist() == [2, 1]
+    nested = tok([[" ".join(words[:2]), words[0]], [words[1], words[2]]])
+    assert nested["text"].shape[:2] == (2, 2)
+    assert nested["text_len"].shape == (2, 2)
+    # inverse transform stops at <pad>=0
+    assert tok.inverse_transform(out["text"])[1] == words[2]
+    # OOV maps to <unk>
+    assert tok(["zzzq"])["text"][0, 0] == data_dir["vocab"]("<unk>")
+
+
+def test_strong_dataset_and_label_raster(data_dir):
+    ds = AudioPhraseDataset(str(data_dir["wav_csv"]),
+                            str(data_dir["label"]),
+                            time_resolution=0.04)
+    item = ds[0]
+    assert item["waveform"].dtype == np.float32
+    # 2 s audio at 0.04 s resolution → floor(2/0.04)+1 = 51 frames
+    assert item["label"].shape == (51,)
+    seg = json.load(open(data_dir["label"]))[0]["phrases"][0]["segments"][0]
+    on, off = round(seg[0] / 0.04), round(seg[1] / 0.04)
+    assert item["label"][on:off].min() == 1
+    assert item["label"].sum() == off - on
+
+
+def test_eval_dataset_index(data_dir):
+    ds = AudioPhraseEvalDataset(str(data_dir["wav_csv"]),
+                                str(data_dir["label"]))
+    items = json.load(open(data_dir["label"]))
+    assert len(ds) == sum(len(it["phrases"]) for it in items)
+    assert ds[0]["phrase"] == items[0]["phrases"][0]["phrase"]
+
+
+def test_collates_and_loader(data_dir):
+    tok = DictTokenizer(data_dir["vocab"])
+    ds = AudioPhraseDataset(str(data_dir["wav_csv"]), str(data_dir["label"]),
+                            time_resolution=0.04)
+    collate = TextCollate(tokenizer=tok, text_key="phrase",
+                          pad_keys=["waveform", "label"],
+                          pad_buckets={"waveform": 32000})
+    loader = DataLoader(ds, batch_size=4, collate_fn=collate, shuffle=True,
+                        num_workers=2)
+    batch = next(iter(loader))
+    assert batch["waveform"].shape[0] == 4
+    # bucketing: padded length is a multiple of 32000
+    assert batch["waveform"].shape[1] % 32000 == 0
+    assert batch["text"].ndim == 2
+    assert "waveform_len" in batch and "label_len" in batch
+    # full epoch, sharding
+    l0 = DataLoader(ds, batch_size=2, collate_fn=collate,
+                    shard_index=0, num_shards=2)
+    l1 = DataLoader(ds, batch_size=2, collate_fn=collate,
+                    shard_index=1, num_shards=2)
+    n0 = sum(b["waveform"].shape[0] for b in l0)
+    n1 = sum(b["waveform"].shape[0] for b in l1)
+    assert n0 + n1 == len(ds)
+
+
+def test_varlen_pad_collate():
+    batch = [{"waveform": np.ones(5, np.float32), "audio_id": "a"},
+             {"waveform": np.ones(3, np.float32), "audio_id": "b"}]
+    out = VarLenPadCollate(pad_keys=["waveform"])(batch)
+    assert out["waveform"].shape == (2, 5)
+    assert out["waveform_len"].tolist() == [5, 3]
+    assert out["audio_id"] == ["a", "b"]
+
+
+@pytest.mark.parametrize("strategy", ["random", "clustering", "similarity"])
+def test_wstag_negative_sampling(wstag_dir, tmp_path, strategy):
+    root = wstag_dir["root"]
+    label = json.load(open(wstag_dir["label"]))
+    all_phrases = sorted({p for it in label for p in it["phrases"]})
+    kwargs = {}
+    if strategy == "clustering":
+        cmap = {0: all_phrases[: len(all_phrases) // 2],
+                1: all_phrases[len(all_phrases) // 2:]}
+        cmap_path = tmp_path / "clusters.json"
+        json.dump(cmap, open(cmap_path, "w"))
+        kwargs["cluster_map"] = str(cmap_path)
+    elif strategy == "similarity":
+        import pickle
+        rng = np.random.default_rng(0)
+        embs = {p: rng.normal(size=8).astype(np.float32)
+                for p in all_phrases}
+        emb_path = tmp_path / "emb.pkl"
+        pickle.dump(embs, open(emb_path, "wb"))
+        kwargs.update(phrase_embed=str(emb_path), sim_threshold=0.99)
+
+    ds = AudioSamplePhrasesDataset(
+        audio=str(root / "waveform_fp.csv"), label=str(wstag_dir["label"]),
+        phrase_num=6, fix_neg=False, neg_samp_stratg=strategy,
+        max_audio_length=1.0, seed=7, **kwargs)
+    item = ds[0]
+    assert len(item["phrases"]) == 6
+    assert item["label"].sum() == len(label[0]["phrases"])
+    assert item["waveform"].shape[0] == 32000  # cropped to 1 s
+    # positives first, negatives not among positives
+    pos = set(label[0]["phrases"])
+    negs = item["phrases"][int(item["label"].sum()):]
+    assert not pos & set(negs)
+    # reproducible under same seed
+    ds2 = AudioSamplePhrasesDataset(
+        audio=str(root / "waveform_fp.csv"), label=str(wstag_dir["label"]),
+        phrase_num=6, fix_neg=False, neg_samp_stratg=strategy,
+        max_audio_length=1.0, seed=7, **kwargs)
+    assert ds2[0]["phrases"] == item["phrases"]
+
+
+def test_fix_neg_cache(wstag_dir):
+    root = wstag_dir["root"]
+    ds = AudioSamplePhrasesDataset(
+        audio=str(root / "waveform_fp.csv"), label=str(wstag_dir["label"]),
+        phrase_num=5, fix_neg=True, neg_samp_stratg="random", seed=1)
+    first = ds[0]["phrases"]
+    second = ds[0]["phrases"]
+    assert first == second  # cached negatives stay fixed

@@ -1,0 +1,150 @@
+"""Collate functions: list of sample dicts → batch dict of NumPy arrays.
+
+Ports of the reference collates (datasets/collate_function.py:7-133) with a
+TPU-critical addition: **shape bucketing**.  Variable-length keys are padded
+not just to the batch max but up to a bucket boundary (round-up to a
+multiple), so the number of distinct compiled shapes under ``jit`` stays
+bounded (XLA recompiles per shape).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from texttoaudiogrounding_tpu.utils.registry import register
+
+
+def round_up(x: int, multiple: int) -> int:
+    return -(-x // multiple) * multiple
+
+
+def pad_sequence(data: list[np.ndarray], pad_to: int | None = None,
+                 bucket: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a list of [Ti, ...] arrays to [B, T, ...]; T = max Ti rounded up
+    to ``bucket`` (or exactly ``pad_to``).
+
+    Reference: utils/train_util.py:211-216 (+ bucketing).
+    """
+    arrs = [np.asarray(a) for a in data]
+    lens = np.array([a.shape[0] for a in arrs], dtype=np.int64)
+    t = int(lens.max()) if pad_to is None else pad_to
+    t = round_up(max(t, 1), bucket)
+    out = np.zeros((len(arrs), t) + arrs[0].shape[1:], dtype=arrs[0].dtype)
+    for i, a in enumerate(arrs):
+        n = min(a.shape[0], t)
+        out[i, :n] = a[:n]
+    return out, np.minimum(lens, t)
+
+
+def _gather(data_batch: list[dict]) -> dict:
+    output: dict[str, list] = {}
+    for data in data_batch:
+        for key, value in data.items():
+            output.setdefault(key, []).append(value)
+    return output
+
+
+def _stack_or_list(values: list):
+    if isinstance(values[0], (np.ndarray, int, float, bool,
+                              np.integer, np.floating, np.bool_)):
+        return np.array(values)
+    return values  # strings / ragged metadata stay python lists
+
+
+class _CollateBase:
+    def __init__(self, pad_keys=(), sort_key=None, pad_buckets=None,
+                 pad_to=None):
+        self.pad_keys = list(pad_keys)
+        self.sort_key = sort_key
+        self.pad_buckets = dict(pad_buckets or {})
+        self.pad_to = dict(pad_to or {})
+
+    def _pad(self, key: str, values: list[np.ndarray]):
+        return pad_sequence(values, pad_to=self.pad_to.get(key),
+                            bucket=self.pad_buckets.get(key, 1))
+
+    def _sort(self, data_batch: list[dict]) -> list[dict]:
+        if self.sort_key is not None:
+            data_batch = sorted(data_batch,
+                                key=lambda x: len(x[self.sort_key]),
+                                reverse=True)
+        return data_batch
+
+
+@register("VarLenPadCollate")
+class VarLenPadCollate(_CollateBase):
+    """Pad listed keys, stack the rest (reference
+    datasets/collate_function.py:7-40)."""
+
+    def __call__(self, data_batch: list[dict]) -> dict:
+        data_batch = self._sort(data_batch)
+        gathered = _gather(data_batch)
+        output = {}
+        for key, values in gathered.items():
+            if key in self.pad_keys:
+                output[key], output[f"{key}_len"] = self._pad(key, values)
+            else:
+                output[key] = _stack_or_list(values)
+        return output
+
+
+@register("TextCollate")
+class TextCollate(_CollateBase):
+    """VarLenPadCollate + tokenizer on the ``text_key`` column (reference
+    datasets/collate_function.py:43-84)."""
+
+    def __init__(self, tokenizer, text_key="text", pad_keys=(),
+                 sort_key=None, pad_buckets=None, pad_to=None,
+                 text_bucket: int = 1):
+        super().__init__(pad_keys, sort_key, pad_buckets, pad_to)
+        self.tokenizer = tokenizer
+        self.text_key = text_key
+        self.text_bucket = text_bucket
+
+    def _bucket_text(self, tokens: dict) -> dict:
+        if self.text_bucket <= 1:
+            return tokens
+        out = dict(tokens)
+        for k, v in tokens.items():
+            if k.endswith("_len") or v.ndim < 2:
+                continue
+            t = round_up(v.shape[-1], self.text_bucket)
+            pad = [(0, 0)] * (v.ndim - 1) + [(0, t - v.shape[-1])]
+            out[k] = np.pad(v, pad)
+        return out
+
+    def __call__(self, data_batch: list[dict]) -> dict:
+        data_batch = self._sort(data_batch)
+        gathered = _gather(data_batch)
+        output = {"text_key": self.text_key}
+        for key, values in gathered.items():
+            if key in self.pad_keys:
+                output[key], output[f"{key}_len"] = self._pad(key, values)
+            elif key == self.text_key:
+                output.update(self._bucket_text(self.tokenizer(values)))
+            else:
+                output[key] = _stack_or_list(values)
+        return output
+
+
+@register("VarNumTextCollate")
+class VarNumTextCollate(TextCollate):
+    """Flattens a variable number of phrases per sample to ``text [sum(N),
+    L]`` + ``text_num [B]`` (reference datasets/collate_function.py:87-133)."""
+
+    def __call__(self, data_batch: list[dict]) -> dict:
+        data_batch = self._sort(data_batch)
+        gathered = _gather(data_batch)
+        output = {"text_key": self.text_key}
+        for key, values in gathered.items():
+            if key in self.pad_keys:
+                output[key], output[f"{key}_len"] = self._pad(key, values)
+            elif key == self.text_key:
+                output[f"{key}_num"] = np.array([len(x) for x in values])
+                merged = [t for tl in values for t in tl]
+                tokens = self._bucket_text(self.tokenizer(merged))
+                output[key] = tokens["text"]
+                output[f"{key}_len"] = tokens["text_len"]
+            else:
+                output[key] = _stack_or_list(values)
+        return output
