@@ -1,0 +1,255 @@
+"""Metric engine vs hand-computed cases (replaces psds_eval /
+sed_scores_eval / sed_eval golden behavior)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from texttoaudiogrounding_tpu.evaluation import (
+    GroundingPrecisionRecall,
+    PSDSEvaluator,
+    compute_psds,
+    compute_sed_eval,
+    compute_th_auc,
+    connect_clusters,
+    decode_multi_threshold,
+    find_contiguous_regions,
+    median_filter,
+    staircase_auc,
+)
+
+
+def test_find_contiguous_regions():
+    arr = np.array([0, 1, 1, 0, 0, 1, 0, 1], bool)
+    np.testing.assert_array_equal(find_contiguous_regions(arr),
+                                  [[1, 3], [5, 6], [7, 8]])
+    np.testing.assert_array_equal(
+        find_contiguous_regions(np.array([1, 1, 0], bool)), [[0, 2]])
+    np.testing.assert_array_equal(
+        find_contiguous_regions(np.array([0, 0], bool)),
+        np.zeros((0, 2), int))
+
+
+def test_connect_clusters():
+    x = np.array([1, 1, 0, 1, 0, 0, 0, 1])
+    # gap of 1 between [0,2) and [3,4) merges; gap of 3 does not
+    np.testing.assert_array_equal(connect_clusters(x, n=1),
+                                  [1, 1, 1, 1, 0, 0, 0, 1])
+    np.testing.assert_array_equal(connect_clusters(x, n=3),
+                                  [1, 1, 1, 1, 1, 1, 1, 1])
+
+
+def test_median_filter_dispatch():
+    x = np.array([[0.9, 0.1, 0.9, 0.9, 0.1]])  # [1, T]
+    out = median_filter(x, window_size=3, threshold=0.5)
+    assert out.shape == x.shape
+    # isolated dip at index 1 survives a 3-median? [1,0,1] → median 1
+    np.testing.assert_array_equal(out[0], [1, 1, 1, 1, 0])
+
+
+def test_decode_multi_threshold():
+    scores = np.array([0.1, 0.8, 0.9, 0.85, 0.1, 0.1, 0.6, 0.6, 0.1])
+    segs = decode_multi_threshold(scores, np.array([0.5]), window_size=1,
+                                  connect_n=1, time_resolution=0.04)
+    np.testing.assert_allclose(segs[0], [[1 * 0.04, 4 * 0.04],
+                                         [6 * 0.04, 8 * 0.04]])
+    # higher threshold keeps only the first burst
+    segs = decode_multi_threshold(scores, np.array([0.7]), window_size=1,
+                                  time_resolution=1.0)
+    np.testing.assert_allclose(segs[0], [[1, 4]])
+    # connect_n=2 merges the two bursts (gap of 2 frames)
+    segs = decode_multi_threshold(scores, np.array([0.5]), window_size=1,
+                                  connect_n=2, time_resolution=1.0)
+    np.testing.assert_allclose(segs[0], [[1, 8]])
+
+
+def test_staircase_auc():
+    # step function: y=0.5 on [0,10), y=1.0 on [10,20)
+    assert staircase_auc(np.array([0.5, 1.0]), np.array([0.0, 10.0]),
+                         max_x=20.0) == pytest.approx(15.0)
+    # running max makes y monotone
+    assert staircase_auc(np.array([1.0, 0.2]), np.array([0.0, 10.0]),
+                         max_x=20.0) == pytest.approx(20.0)
+
+
+def _gt_meta():
+    gt = pd.DataFrame([{"filename": "f1", "onset": 0.0, "offset": 10.0}])
+    meta = pd.DataFrame([{"filename": "f1", "duration": 60.0},
+                         {"filename": "f2", "duration": 60.0}])
+    return gt, meta
+
+
+def test_psds_perfect_detection():
+    gt, meta = _gt_meta()
+    ev = PSDSEvaluator(gt, meta, 0.5, 0.5)
+    ev.add_operating_point(pd.DataFrame(
+        [{"filename": "f1", "onset": 0.0, "offset": 10.0}]))
+    value, _ = ev.psds(max_efpr=100.0)
+    assert value == pytest.approx(1.0)
+
+
+def test_psds_dtc_gtc_criteria():
+    gt, meta = _gt_meta()
+    # det inside gt: DTC ok (precision 1) but covers only 40% → no TP, no FP
+    ev = PSDSEvaluator(gt, meta, 0.5, 0.5)
+    ev.add_operating_point(pd.DataFrame(
+        [{"filename": "f1", "onset": 0.0, "offset": 4.0}]))
+    value, _ = ev.psds(max_efpr=100.0)
+    assert value == pytest.approx(0.0)
+    op = ev.operating_points[0]["per_class"]["fake_event"]
+    assert op["tpr"] == 0.0 and op["fpr"] == 0.0
+
+    # non-overlapping det: FP → eFPR = 1 / 120 s = 30/h
+    ev2 = PSDSEvaluator(gt, meta, 0.5, 0.5)
+    ev2.add_operating_point(pd.DataFrame(
+        [{"filename": "f2", "onset": 20.0, "offset": 30.0}]))
+    op = ev2.operating_points[0]["per_class"]["fake_event"]
+    assert op["fpr"] == pytest.approx(30.0)
+    # half the area is below eFPR=30 where TPR=0
+    value, _ = ev2.psds(max_efpr=100.0)
+    assert value == pytest.approx(0.0)
+
+
+def test_psds_split_detections_sum_dtc():
+    """Two half-covering detections jointly satisfy GTC (sums, not single
+    best match) — the defining PSDS property."""
+    gt, meta = _gt_meta()
+    ev = PSDSEvaluator(gt, meta, 0.5, 0.5)
+    ev.add_operating_point(pd.DataFrame(
+        [{"filename": "f1", "onset": 0.0, "offset": 3.0},
+         {"filename": "f1", "onset": 3.0, "offset": 6.0}]))
+    op = ev.operating_points[0]["per_class"]["fake_event"]
+    assert op["tpr"] == pytest.approx(1.0)  # 3/10 + 3/10 = 0.6 ≥ 0.5
+    assert op["fpr"] == 0.0
+
+
+def test_psds_multiple_ops_roc():
+    gt, meta = _gt_meta()
+    ev = PSDSEvaluator(gt, meta, 0.5, 0.5)
+    # op1: perfect (eFPR 0, TPR 1); op2: one FP (eFPR 30, TPR 1)
+    ev.add_operating_point(pd.DataFrame(
+        [{"filename": "f1", "onset": 0.0, "offset": 10.0}]))
+    ev.add_operating_point(pd.DataFrame(
+        [{"filename": "f1", "onset": 0.0, "offset": 10.0},
+         {"filename": "f2", "onset": 20.0, "offset": 30.0}]))
+    value, _ = ev.psds(max_efpr=100.0)
+    assert value == pytest.approx(1.0)
+
+
+def test_compute_psds_wrapper():
+    gt = pd.DataFrame([
+        {"filename": "q1", "audio_id": "a1", "onset": 0.0, "offset": 5.0},
+    ])
+    dur = pd.DataFrame([{"audio_id": "a1", "duration": 10.0}])
+    preds = {0.5: pd.DataFrame(
+        [{"filename": "q1", "onset": 0.0, "offset": 5.0}])}
+    value = compute_psds(preds, gt, dur, max_efpr=100.0)
+    assert value == pytest.approx(1.0)
+
+
+def test_th_auc_hand_case():
+    gt = pd.DataFrame([
+        {"filename": "f1", "onset": 0.0, "offset": 10.0},
+        {"filename": "f2", "onset": 0.0, "offset": 10.0},
+    ])
+    # th 0.2: both gts found perfectly + 1 spurious det → P=2/3, R=1
+    # th 0.8: only f1 found → P=1, R=0.5
+    preds = {
+        0.2: pd.DataFrame([
+            {"filename": "f1", "onset": 0.0, "offset": 10.0},
+            {"filename": "f2", "onset": 0.0, "offset": 10.0},
+            {"filename": "f2", "onset": 30.0, "offset": 40.0},
+        ]),
+        0.8: pd.DataFrame([
+            {"filename": "f1", "onset": 0.0, "offset": 10.0},
+        ]),
+    }
+    value = compute_th_auc(preds, gt, min_threshold=0.0, max_threshold=1.0)
+    f_02 = 2 * (2 / 3) * 1.0 / (2 / 3 + 1.0)
+    f_08 = 2 * 1.0 * 0.5 / 1.5
+    expected = 0.5 * (f_02 + f_08) * (0.8 - 0.2) / 1.0  # trapezoid
+    assert value == pytest.approx(expected)
+
+
+def test_th_auc_precision_uses_all_dets():
+    """Precision criterion counts dets valid against gts that pass GTC from
+    ALL detections (reference :594-626), not only DTC-valid ones."""
+    gt = pd.DataFrame([{"filename": "f1", "onset": 0.0, "offset": 10.0}])
+    ev = GroundingPrecisionRecall(0.5, 0.5, gt)
+    # two dets: [0,3] and [3,6] — each alone covers 30% (GTC fails per det)
+    # but together 60% passes GTC; both dets have precision 1 ≥ dtc
+    ev.add_operating_point(pd.DataFrame([
+        {"filename": "f1", "onset": 0.0, "offset": 3.0},
+        {"filename": "f1", "onset": 3.0, "offset": 6.0},
+    ]), info={"threshold": 0.5})
+    op = ev.operating_points[0]
+    assert op["recall"] == pytest.approx(1.0)
+    assert op["precision"] == pytest.approx(1.0)
+
+
+def test_sed_eval_metrics():
+    ref = pd.DataFrame([
+        {"filename": "f1", "onset": 1.0, "offset": 3.0,
+         "event_label": "dog"},
+        {"filename": "f1", "onset": 5.0, "offset": 6.0,
+         "event_label": "cat"},
+    ])
+    est = pd.DataFrame([
+        {"filename": "f1", "onset": 1.1, "offset": 3.1,
+         "event_label": "dog"},   # within collar 0.2
+        {"filename": "f1", "onset": 5.5, "offset": 6.5,
+         "event_label": "cat"},   # onset off by 0.5 > collar → FP+FN
+    ])
+    event, segment = compute_sed_eval(ref, est)
+    assert event["class_wise"]["dog"]["f_measure"] == pytest.approx(1.0)
+    assert event["class_wise"]["cat"]["f_measure"] == pytest.approx(0.0)
+    assert event["overall"]["f_measure"] == pytest.approx(0.5)
+    # segment-based: dog ref active in segments {1,2}, est in {1,2,3}
+    # (3.1 s offset spills into segment 3) → tp=2, fp=1, fn=0 → F=0.8
+    assert segment["class_wise"]["dog"]["f_measure"] == pytest.approx(0.8)
+
+
+def test_perfect_scores_beat_random_end_to_end(rng):
+    """Decode + PSDS + th-AUC pipeline: oracle scores must beat random
+    (the reference's evaluate_random sanity floor, run_strong.py:279-380)."""
+    time_res = 0.04
+    n_frames = 250
+    thresholds = np.arange(1, 10) / 10.0
+    gt_rows, all_scores = [], {}
+    for i in range(8):
+        on = rng.uniform(1.0, 4.0)
+        off = on + rng.uniform(1.0, 3.0)
+        fname = f"q{i}"
+        gt_rows.append({"filename": fname, "audio_id": f"a{i}",
+                        "onset": round(on, 2), "offset": round(off, 2)})
+        oracle = np.zeros(n_frames, np.float32)
+        oracle[int(on / time_res):int(off / time_res)] = 0.95
+        all_scores[fname] = {"oracle": oracle,
+                             "random": rng.uniform(size=n_frames)}
+    gt = pd.DataFrame(gt_rows)
+    dur = pd.DataFrame([{"audio_id": f"a{i}", "duration": 10.0}
+                        for i in range(8)])
+
+    results = {}
+    for kind in ("oracle", "random"):
+        preds = {th: [] for th in thresholds}
+        for fname, scores in all_scores.items():
+            segs = decode_multi_threshold(scores[kind], thresholds,
+                                          window_size=1, connect_n=13,
+                                          time_resolution=time_res)
+            for th, seg in zip(thresholds, segs):
+                for onset, offset in seg:
+                    preds[th].append({"filename": fname, "onset": onset,
+                                      "offset": offset})
+        pred_dfs = {th: pd.DataFrame(
+            rows, columns=["filename", "onset", "offset"])
+            for th, rows in preds.items()}
+        results[kind] = {
+            "psds": compute_psds(pred_dfs, gt, dur, max_efpr=100.0),
+            "th_auc": compute_th_auc(pred_dfs, gt),
+        }
+    assert results["oracle"]["psds"] > 0.9
+    # F=1 at each of the 9 thresholds → trapezoid over [0.1, 0.9] = 0.8
+    assert results["oracle"]["th_auc"] == pytest.approx(0.8)
+    assert results["oracle"]["psds"] > results["random"]["psds"] + 0.3
+    assert results["oracle"]["th_auc"] > results["random"]["th_auc"] + 0.3

@@ -1,0 +1,332 @@
+"""PSDS (Polyphonic Sound Detection Score) — self-contained implementation.
+
+The environment ships neither ``psds_eval`` nor ``sed_scores_eval``, so this
+module implements the metric from its definition, covering both reference
+code paths:
+
+* operating-point PSDS (psds_eval semantics — reference
+  utils/eval_util.py:136-223): DTC/GTC/CTTC intersection criteria per
+  operating point, per-class staircase ROC of best operating points,
+  effective TPR ``mu - alpha_st * sigma``, staircase AUC normalized by
+  ``max_efpr``;
+* threshold-resolved PSDS over score curves (sed_scores_eval semantics —
+  reference utils/eval_util.py:226-292), here evaluated on a dense
+  threshold grid over the same criteria (``max_efpr=None`` supported).
+
+Grounding uses a single class (``fake_event``), dtc=gtc=0.5,
+``alpha_ct=alpha_st=0`` (reference eval configs).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+WORLD = "WORLD"
+
+
+def staircase_auc(y: np.ndarray, x: np.ndarray,
+                  max_x: Optional[float] = None) -> float:
+    """Area under a right-continuous step function given sample points.
+
+    Matches ``sed_scores_eval.utils.auc.staircase_auc``: sort by x, make y
+    the running max, integrate y as a step function (value holds until the
+    next x), up to ``max_x``.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    order = np.argsort(x, kind="stable")
+    x, y = x[order], y[order]
+    y = np.maximum.accumulate(y)
+    if max_x is None:
+        max_x = x[-1] if len(x) else 0.0
+    keep = x <= max_x
+    x, y = x[keep], y[keep]
+    if len(x) == 0:
+        return 0.0
+    widths = np.diff(np.r_[x, max_x])
+    return float(np.sum(y * widths))
+
+
+def _intersections(det: pd.DataFrame, gt: pd.DataFrame) -> pd.DataFrame:
+    """All (detection, ground-truth) pairs on the same file that overlap,
+    with intersection ratios (psds_eval ``_ground_truth_intersections``)."""
+    comb = pd.merge(det, gt, how="inner", on="filename",
+                    suffixes=("_det", "_gt"))
+    if comb.empty:
+        return comb.assign(inter_duration=[], det_precision=[],
+                           gt_coverage=[])
+    cross = comb[(comb.onset_det <= comb.offset_gt)
+                 & (comb.onset_gt <= comb.offset_det)].copy()
+    cross["inter_duration"] = (
+        np.minimum(cross.offset_det, cross.offset_gt)
+        - np.maximum(cross.onset_det, cross.onset_gt))
+    cross["det_precision"] = cross.inter_duration / cross.duration_det
+    cross["gt_coverage"] = cross.inter_duration / cross.duration_gt
+    return cross
+
+
+class PSDSEvaluator:
+    """Operating-point PSDS evaluator (psds_eval-compatible counting)."""
+
+    def __init__(self, ground_truth: pd.DataFrame, metadata: pd.DataFrame,
+                 dtc_threshold: float = 0.5, gtc_threshold: float = 0.5,
+                 cttc_threshold: float = 0.0):
+        gt = ground_truth.copy()
+        if "event_label" not in gt:
+            gt["event_label"] = "fake_event"
+        gt = gt.dropna(subset=["onset", "offset", "event_label"])
+        gt["duration"] = gt.offset - gt.onset
+        gt["id_gt"] = np.arange(len(gt))
+        self.ground_truth = gt
+        self.class_names = sorted(gt.event_label.unique())
+        meta = metadata.drop_duplicates("filename")
+        self.dataset_duration = float(meta.duration.sum())
+        self.gt_duration_per_class = {
+            c: float(gt[gt.event_label == c].duration.sum())
+            for c in self.class_names
+        }
+        self.dtc_threshold = dtc_threshold
+        self.gtc_threshold = gtc_threshold
+        self.cttc_threshold = cttc_threshold
+        self.operating_points: list[dict] = []
+
+    def _counts_for_class(self, det_c: pd.DataFrame, cls: str):
+        """(num_tp_gts, num_fp_dets, ct_counts per other class)."""
+        gt_c = self.ground_truth[self.ground_truth.event_label == cls]
+        num_dets = len(det_c)
+        if num_dets == 0:
+            return 0, 0, {}
+        det_c = det_c.copy()
+        det_c["duration_det"] = det_c.offset - det_c.onset
+        det_c = det_c.rename(columns={"onset": "onset_det",
+                                      "offset": "offset_det"})
+        det_c["id_det"] = np.arange(len(det_c))
+        gt_all = self.ground_truth.rename(
+            columns={"onset": "onset_gt", "offset": "offset_gt",
+                     "duration": "duration_gt"})
+        cross_all = _intersections(
+            det_c[["filename", "onset_det", "offset_det", "duration_det",
+                   "id_det"]],
+            gt_all[["filename", "onset_gt", "offset_gt", "duration_gt",
+                    "id_gt", "event_label"]])
+
+        cross_same = cross_all[cross_all.event_label == cls]
+        if cross_same.empty:
+            dtc_valid_ids = np.array([], dtype=int)
+        else:
+            prec_sum = cross_same.groupby("id_det").det_precision.sum()
+            dtc_valid_ids = prec_sum[
+                prec_sum >= self.dtc_threshold].index.values
+        num_fp = num_dets - len(dtc_valid_ids)
+
+        if cross_same.empty:
+            num_tp = 0
+        else:
+            valid_cross = cross_same[cross_same.id_det.isin(dtc_valid_ids)]
+            if valid_cross.empty:
+                num_tp = 0
+            else:
+                cov = valid_cross.groupby("id_gt").gt_coverage.sum()
+                num_tp = int((cov >= self.gtc_threshold).sum())
+
+        ct_counts: dict[str, int] = {}
+        if self.cttc_threshold > 0:
+            # cross-triggers: non-DTC-valid dets matching other classes
+            failing = cross_all[~cross_all.id_det.isin(dtc_valid_ids)]
+            for other in self.class_names:
+                if other == cls:
+                    continue
+                sub = failing[failing.event_label == other]
+                if sub.empty:
+                    ct_counts[other] = 0
+                    continue
+                prec = sub.groupby("id_det").det_precision.sum()
+                ct_counts[other] = int(
+                    (prec >= self.cttc_threshold).sum())
+        return num_tp, num_fp, ct_counts
+
+    def add_operating_point(self, detections: pd.DataFrame,
+                            info: Optional[dict] = None) -> None:
+        det = detections.copy()
+        if "event_label" not in det:
+            det["event_label"] = "fake_event"
+        point = {"info": info or {}, "per_class": {}}
+        for cls in self.class_names:
+            det_c = det[det.event_label == cls]
+            num_tp, num_fp, ct = self._counts_for_class(det_c, cls)
+            num_gts = int((self.ground_truth.event_label == cls).sum())
+            tpr = num_tp / max(num_gts, 1e-15)
+            fpr = num_fp / self.dataset_duration * 3600.0  # per hour
+            ctr = 0.0
+            others = [c for c in self.class_names if c != cls]
+            if others and self.cttc_threshold > 0:
+                rates = []
+                for other in others:
+                    dur = self.gt_duration_per_class[other]
+                    rates.append(
+                        ct.get(other, 0) / max(dur, 1e-15) * 3600.0)
+                ctr = float(np.mean(rates))
+            point["per_class"][cls] = {"tpr": tpr, "fpr": fpr, "ctr": ctr}
+        self.operating_points.append(point)
+
+    def psds(self, alpha_ct: float = 0.0, alpha_st: float = 0.0,
+             max_efpr: Optional[float] = None):
+        """PSDS value (+ ROC) over accumulated operating points."""
+        if not self.operating_points:
+            return 0.0, (np.zeros(1), np.zeros(1))
+        # per class: (efpr, tpr) points
+        efpr_all = []
+        per_class_points = {}
+        for cls in self.class_names:
+            pts = []
+            for op in self.operating_points:
+                st = op["per_class"][cls]
+                efpr = st["fpr"] + alpha_ct * st["ctr"]
+                pts.append((efpr, st["tpr"]))
+            pts = np.array(pts)
+            per_class_points[cls] = pts
+            efpr_all.append(pts[:, 0])
+        efpr_axis = np.unique(np.concatenate(efpr_all + [np.zeros(1)]))
+        if max_efpr is None:
+            max_efpr = float(efpr_axis.max()) if efpr_axis.max() > 0 else 1.0
+        efpr_axis = np.r_[efpr_axis[efpr_axis < max_efpr], max_efpr]
+
+        # per-class staircase of best operating points
+        tpr_curves = []
+        for cls in self.class_names:
+            pts = per_class_points[cls]
+            order = np.argsort(pts[:, 0], kind="stable")
+            x = pts[order, 0]
+            y = np.maximum.accumulate(pts[order, 1])
+            idx = np.searchsorted(x, efpr_axis, side="right") - 1
+            curve = np.where(idx >= 0, y[np.maximum(idx, 0)], 0.0)
+            tpr_curves.append(curve)
+        tpr_curves = np.stack(tpr_curves)            # [C, X]
+        mu = tpr_curves.mean(axis=0)
+        sigma = tpr_curves.std(axis=0)
+        etpr = np.maximum(mu - alpha_st * sigma, 0.0)
+        auc = staircase_auc(etpr, efpr_axis, max_x=max_efpr)
+        return auc / max_efpr, (etpr, efpr_axis)
+
+
+def compute_psds(prediction_dfs: Dict[float, pd.DataFrame],
+                 ground_truth, duration,
+                 dtc_threshold: float = 0.5, gtc_threshold: float = 0.5,
+                 cttc_threshold: float = 0.0,
+                 alpha_ct: float = 0.0, alpha_st: float = 0.0,
+                 max_efpr: Optional[float] = None,
+                 save_dir=None) -> float:
+    """Operating-point PSDS from per-threshold prediction tables.
+
+    Mirrors reference ``compute_psds`` (utils/eval_util.py:136-223):
+    ``ground_truth`` rows carry both ``filename`` (datapoint id) and
+    ``audio_id``; per-datapoint duration is the duration of its audio.
+    """
+    if not isinstance(ground_truth, pd.DataFrame):
+        ground_truth = pd.read_csv(ground_truth, sep="\t")
+    if not isinstance(duration, pd.DataFrame):
+        duration = pd.read_csv(duration, sep="\t")
+    aid_to_dur = dict(zip(duration["audio_id"], duration["duration"]))
+    metadata = pd.DataFrame([
+        {"filename": row["filename"],
+         "duration": aid_to_dur[row["audio_id"]]}
+        for _, row in ground_truth.iterrows()
+    ])
+    gt = ground_truth.drop(columns=[c for c in ("audio_id",)
+                                    if c in ground_truth])
+    evaluator = PSDSEvaluator(gt, metadata, dtc_threshold, gtc_threshold,
+                              cttc_threshold)
+    for i, k in enumerate(sorted(prediction_dfs.keys())):
+        evaluator.add_operating_point(
+            prediction_dfs[k], info={"name": f"Op {i+1:02d}",
+                                     "threshold": k})
+    value, roc = evaluator.psds(alpha_ct=alpha_ct, alpha_st=alpha_st,
+                                max_efpr=max_efpr)
+    if save_dir is not None:
+        _plot_roc(roc, save_dir, dtc_threshold, gtc_threshold, max_efpr)
+    return value
+
+
+def compute_psds_sed_scores(scores: Dict[str, pd.DataFrame],
+                            ground_truth: Dict[str, list],
+                            duration, fname_to_aid: Dict[str, str],
+                            dtc_threshold: float = 0.5,
+                            gtc_threshold: float = 0.5,
+                            max_efpr: Optional[float] = None,
+                            num_thresholds: int = 200,
+                            save_dir=None) -> float:
+    """Threshold-resolved PSDS over score curves (sed_scores_eval path).
+
+    Mirrors reference ``compute_psds_sed_scores`` (utils/eval_util.py:
+    250-292): ``scores[fname]`` is a DataFrame with columns
+    (onset, offset, <event>...) of per-frame scores; ground_truth[fname] is
+    a list of (onset, offset, event) tuples.  The threshold-free change-point
+    enumeration of sed_scores_eval is evaluated here on a dense uniform
+    threshold grid (no median filtering, ``>= threshold`` binarization).
+    """
+    if not isinstance(duration, pd.DataFrame):
+        duration = pd.read_csv(duration, sep="\t")
+    aid_to_dur = dict(zip(duration["audio_id"], duration["duration"]))
+
+    gt_rows = []
+    for fname, events in ground_truth.items():
+        for onset, offset, label in events:
+            gt_rows.append({"filename": fname, "onset": onset,
+                            "offset": offset, "event_label": label})
+    gt_df = pd.DataFrame(gt_rows)
+    metadata = pd.DataFrame([
+        {"filename": fname, "duration": aid_to_dur[fname_to_aid[fname]]}
+        for fname in ground_truth
+    ])
+    evaluator = PSDSEvaluator(gt_df, metadata, dtc_threshold, gtc_threshold)
+
+    thresholds = np.linspace(0.0, 1.0, num_thresholds + 1)[1:-1]
+    event_cols = {}
+    for fname, df in scores.items():
+        event_cols[fname] = [c for c in df.columns
+                             if c not in ("onset", "offset")]
+    for th in thresholds:
+        rows = []
+        for fname, df in scores.items():
+            onsets = df["onset"].values
+            offsets = df["offset"].values
+            for col in event_cols[fname]:
+                vals = df[col].values >= th
+                if not vals.any():
+                    continue
+                change = np.flatnonzero(np.diff(
+                    np.r_[0, vals.astype(np.int8), 0]))
+                for lo, hi in change.reshape(-1, 2):
+                    rows.append({"filename": fname,
+                                 "onset": onsets[lo],
+                                 "offset": offsets[hi - 1],
+                                 "event_label": col})
+        det = pd.DataFrame(rows, columns=["filename", "onset", "offset",
+                                          "event_label"])
+        evaluator.add_operating_point(det, info={"threshold": th})
+    value, roc = evaluator.psds(max_efpr=max_efpr)
+    if save_dir is not None:
+        _plot_roc(roc, save_dir, dtc_threshold, gtc_threshold, max_efpr,
+                  prefix="PSDS_sedscores")
+    return value
+
+
+def _plot_roc(roc, save_dir, dtc, gtc, max_efpr, prefix="PSDS"):
+    from pathlib import Path
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    etpr, efpr = roc
+    plt.figure(figsize=(16, 4))
+    plt.step(efpr, etpr, lw=2, where="post")
+    plt.xlabel("eFPR per hour")
+    plt.ylabel("eTPR")
+    plt.savefig(save_dir / f"{prefix}_dtc{dtc}_gtc{gtc}_"
+                f"maxefpr{max_efpr}.png")
+    plt.close()
