@@ -1,0 +1,62 @@
+"""Benchmark: batched grounding inference throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "grounding_inference_clips_per_sec", "value": N,
+   "unit": "clips/s/chip", "vs_baseline": N/10000}
+
+Workload: the flagship BiEncoder (Cnn8Rnn audio tower + text encoder +
+DotProduct match) on 10 s / 32 kHz clips, one phrase each — the
+north-star target is 10,000 clips/s/chip (BASELINE.md).
+
+Timing note: ``block_until_ready`` is unreliable through the axon tunnel,
+so we time a chain of dependent steps and force one final host fetch.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _example_batch, _flagship_model
+
+    batch_size = int(__import__("os").environ.get("BENCH_BATCH", 128))
+    iters = int(__import__("os").environ.get("BENCH_ITERS", 20))
+
+    model = _flagship_model()
+    batch = _example_batch(batch_size=batch_size)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+
+    @jax.jit
+    def fwd(variables, batch):
+        out = model.apply(variables, batch, train=False)
+        return out["frame_sim"]
+
+    jbatch = jax.device_put(batch)
+    # warm up (compile)
+    np.asarray(fwd(variables, jbatch))
+
+    t0 = time.time()
+    out = None
+    for _ in range(iters):
+        out = fwd(variables, jbatch)
+    _ = np.asarray(out)  # force completion
+    dt = (time.time() - t0) / iters
+    clips_per_sec = batch_size / dt
+
+    print(json.dumps({
+        "metric": "grounding_inference_clips_per_sec",
+        "value": round(clips_per_sec, 1),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(clips_per_sec / 10000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,3 +21,9 @@ SED, zero-shot SED — but the implementation is designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+# Populate the component registry so YAML configs resolve by short name.
+from texttoaudiogrounding_tpu import losses as losses  # noqa: E402,F401
+from texttoaudiogrounding_tpu import models as models  # noqa: E402,F401
+from texttoaudiogrounding_tpu import data as data  # noqa: E402,F401
+from texttoaudiogrounding_tpu.training import optim as _optim  # noqa: E402,F401

@@ -1,0 +1,83 @@
+"""Device mesh + sharding helpers: data-parallel over ICI via GSPMD.
+
+The reference is single-device (SURVEY §2 parallelism audit); here scaling
+is a first-class component: a ``jax.sharding.Mesh`` with a ``data`` axis
+(optionally ``model`` for tensor sharding of wide layers later), batches
+sharded ``P("data")``, parameters replicated, and XLA inserting the gradient
+all-reduce over ICI when the jitted train step runs (the pjit/GSPMD
+data-parallel recipe — no NCCL analog needed).
+
+Multi-host: each process feeds its local shard;
+``jax.make_array_from_process_local_data`` assembles the global batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(devices: Optional[Sequence] = None,
+             axis_names: tuple = ("data",),
+             shape: Optional[tuple] = None) -> Mesh:
+    """Build a mesh over the available devices (default: 1-D data axis)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for a batch pytree: leading dim split over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """Device-put array leaves of a batch dict with the data sharding.
+
+    Non-array leaves (id lists, strings) are passed through untouched —
+    they never enter jit.
+    """
+    sharding = batch_sharding(mesh, axis)
+    out = {}
+    for key, value in batch.items():
+        if isinstance(value, (np.ndarray, jax.Array)) and np.ndim(value) > 0:
+            out[key] = jax.device_put(value, sharding)
+        else:
+            out[key] = value
+    return out
+
+
+def pad_batch_to_multiple(batch: dict, multiple: int) -> tuple[dict, int]:
+    """Pad the batch dim so it divides the mesh (last partial batches).
+
+    Returns (padded_batch, real_batch_size).  Padding repeats the last
+    element; callers mask out padded rows on the host after the step.
+    """
+    leaves = [v for v in batch.values()
+              if isinstance(v, np.ndarray) and v.ndim > 0]
+    if not leaves:
+        return batch, 0
+    b = leaves[0].shape[0]
+    target = -(-b // multiple) * multiple
+    if target == b:
+        return batch, b
+    out = {}
+    for key, value in batch.items():
+        if isinstance(value, np.ndarray) and value.ndim > 0 \
+                and value.shape[0] == b:
+            reps = np.concatenate(
+                [value, np.repeat(value[-1:], target - b, axis=0)], axis=0)
+            out[key] = reps
+        else:
+            out[key] = value
+    return out, b

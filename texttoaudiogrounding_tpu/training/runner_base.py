@@ -1,0 +1,333 @@
+"""Shared runner machinery: config → loaders/model/optimizer/jitted steps.
+
+The reference implements this per-runner (python_scripts/training/
+run_strong.py:29-120, 679-770); here it is one base class.  TPU specifics:
+the train step is jitted once over a data-parallel mesh (batch sharded
+``P("data")``, params replicated, XLA inserts the gradient all-reduce), and
+batches are padded/bucketed host-side so recompilation stays bounded.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import yaml
+
+from texttoaudiogrounding_tpu.parallel.mesh import (
+    batch_sharding,
+    get_mesh,
+    pad_batch_to_multiple,
+    replicate,
+    shard_batch,
+)
+from texttoaudiogrounding_tpu.training.optim import (
+    MetricImprover,
+    build_optimizer,
+    get_learning_rate,
+    set_learning_rate,
+)
+from texttoaudiogrounding_tpu.training.train_state import (
+    TrainState,
+    load_checkpoint,
+    save_checkpoint,
+)
+from texttoaudiogrounding_tpu.utils.config import (
+    dump_config,
+    parse_config_or_kwargs,
+)
+from texttoaudiogrounding_tpu.utils.registry import instantiate
+
+log = logging.getLogger(__name__)
+
+
+def init_logger(filename: Path, level: str = "INFO") -> logging.Logger:
+    """File+stdout logger (reference utils/train_util.py:91-101)."""
+    logger = logging.getLogger(f"ttg.{filename}")
+    logger.setLevel(getattr(logging, level))
+    logger.handlers.clear()
+    formatter = logging.Formatter(
+        "[ %(levelname)s : %(asctime)s ] - %(message)s")
+    for handler in (logging.FileHandler(filename),
+                    logging.StreamHandler(sys.stdout)):
+        handler.setFormatter(formatter)
+        logger.addHandler(handler)
+    logger.propagate = False
+    return logger
+
+
+def array_batch(batch: dict) -> dict:
+    """Keep jit-compatible leaves and normalize dtypes (reference forward
+    casting, run_strong.py:92-99: text → long, everything else → float)."""
+    out = {}
+    for key, value in batch.items():
+        if not isinstance(value, np.ndarray) or value.dtype == object:
+            continue
+        if value.dtype in (np.int64, np.int32, np.bool_):
+            out[key] = value.astype(np.int32)
+        elif np.issubdtype(value.dtype, np.floating):
+            out[key] = value.astype(np.float32)
+        else:
+            out[key] = value
+    return out
+
+
+class BaseRunner:
+    """Config-driven training/evaluation driver."""
+
+    def __init__(self):
+        self.config: dict = {}
+        self.mesh = None
+        self.logger = log
+
+    # ------------------------------------------------------------- builders
+    def build_dataloader(self, cfg: dict, shuffle: bool):
+        dataset = instantiate(cfg["dataset"])
+        collate_fn = instantiate(cfg["collate_fn"]) \
+            if "collate_fn" in cfg else None
+        kwargs = dict(cfg.get("dataloader_args", {}))
+        kwargs.setdefault("shuffle", shuffle)
+        if kwargs.pop("drop_last", shuffle):
+            kwargs["drop_last"] = True
+        from texttoaudiogrounding_tpu.data.loader import DataLoader
+        return DataLoader(dataset, collate_fn=collate_fn,
+                          seed=self.config.get("seed", 1), **kwargs)
+
+    def build_model(self):
+        return instantiate(self.config["model"])
+
+    def build_loss(self):
+        return instantiate(self.config["loss"])
+
+    def init_state(self, model, sample_batch: dict) -> TrainState:
+        rng = jax.random.PRNGKey(self.config.get("seed", 1))
+        variables = model.init({"params": rng}, array_batch(sample_batch),
+                               train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        trainer = self.config.get("trainer", {})
+        self.tx = build_optimizer(
+            self.config.get("optimizer", {"type": "Adam",
+                                          "args": {"lr": 1e-3}}),
+            params=params, model=model,
+            max_grad_norm=trainer.get("max_grad_norm"))
+        opt_state = self.tx.init(params)
+        return TrainState(params=params, batch_stats=batch_stats,
+                          opt_state=opt_state, step=0)
+
+    # ---------------------------------------------------------------- steps
+    def make_train_step(self, model, loss_fn,
+                        output_transform: Callable,
+                        loss_rng: bool = False):
+        mesh = self.mesh
+        rep = replicate(mesh)
+        data = batch_sharding(mesh)
+
+        def train_step(state: TrainState, batch: dict, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+            rngs = {"dropout": step_rng,
+                    "specaug": jax.random.fold_in(step_rng, 1)}
+
+            def wrapped(params):
+                variables = {"params": params}
+                mutable = []
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                    mutable = ["batch_stats"]
+                result = model.apply(variables, batch, train=True,
+                                     rngs=rngs, mutable=mutable)
+                output, mutated = result if mutable else (result, {})
+                output = output_transform(output, batch)
+                kw = {"rng": jax.random.fold_in(step_rng, 2)} \
+                    if loss_rng else {}
+                return loss_fn(output, **kw), mutated
+
+            (loss, mutated), grads = jax.value_and_grad(
+                wrapped, has_aux=True)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=params,
+                batch_stats=mutated.get("batch_stats", state.batch_stats),
+                opt_state=opt_state, step=state.step + 1)
+            return new_state, loss
+
+        return jax.jit(train_step,
+                       in_shardings=(rep, data, rep),
+                       out_shardings=(rep, rep),
+                       donate_argnums=(0,))
+
+    def make_val_step(self, model, loss_fn, output_transform: Callable):
+        mesh = self.mesh
+        rep = replicate(mesh)
+        data = batch_sharding(mesh)
+
+        def val_step(state: TrainState, batch: dict):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            output = model.apply(variables, batch, train=False)
+            output = output_transform(output, batch)
+            return loss_fn(output)
+
+        return jax.jit(val_step, in_shardings=(rep, data),
+                       out_shardings=rep)
+
+    def make_forward(self, model):
+        mesh = self.mesh
+        rep = replicate(mesh)
+        data = batch_sharding(mesh)
+
+        def forward(state: TrainState, batch: dict):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            return model.apply(variables, batch, train=False)
+
+        return jax.jit(forward, in_shardings=(rep, data), out_shardings=rep)
+
+    # ------------------------------------------------------------ main loop
+    def setup(self, config, overrides=None, **kwargs):
+        if isinstance(config, dict):
+            self.config = config
+        else:
+            self.config = parse_config_or_kwargs(config, overrides or [],
+                                                 **kwargs)
+        self.config.setdefault("seed", 1)
+        np.random.seed(self.config["seed"])
+        self.mesh = get_mesh()
+        return self.config
+
+    def prepare_experiment(self) -> Path:
+        exp_dir = Path(self.config["experiment_path"])
+        exp_dir.mkdir(parents=True, exist_ok=True)
+        dump_config(self.config, exp_dir / "config.yaml")
+        self.logger = init_logger(exp_dir / "train.log")
+        self.logger.info(yaml.safe_dump(self.config, sort_keys=False))
+        return exp_dir
+
+    def fit(self, model, loss_fn, train_loader, val_loader,
+            output_transform: Callable, exp_dir: Path,
+            loss_rng: bool = False) -> TrainState:
+        """Epoch loop with plateau LR, early stop, best/last checkpoints.
+
+        Reference: run_strong.py:712-810.
+        """
+        trainer = self.config.get("trainer", {})
+        epochs = trainer.get("epochs", 10)
+        epoch_length = trainer.get("epoch_length")
+        early_stop = trainer.get("early_stop", epochs)
+        save_interval = trainer.get("save_interval", 1)
+        include_optim = trainer.get("include_optim_in_ckpt", True)
+        monitor = trainer.get("metric_monitor",
+                              {"mode": "min", "name": "loss"})
+        metric_improver = MetricImprover(monitor["mode"])
+
+        n_dev = self.mesh.devices.size
+        sample_batch = None
+        for b in train_loader:
+            sample_batch = b
+            break
+        if sample_batch is None:
+            raise ValueError("empty train loader")
+        sample_batch = array_batch(sample_batch)
+        state = self.init_state(model, sample_batch)
+        num_params = sum(int(np.prod(x.shape))
+                         for x in jax.tree.leaves(state.params))
+        self.logger.info(f"{num_params} parameters in total; "
+                         f"mesh={self.mesh}")
+
+        if "lr_scheduler" in self.config:
+            scheduler = instantiate(self.config["lr_scheduler"])
+        else:
+            from texttoaudiogrounding_tpu.training.optim import \
+                ReduceLROnPlateau
+            scheduler = ReduceLROnPlateau(mode=monitor["mode"])
+        lr_update_interval = trainer.get("lr_update_interval", "epoch")
+
+        train_step = self.make_train_step(model, loss_fn, output_transform,
+                                          loss_rng=loss_rng)
+        val_step = self.make_val_step(model, loss_fn, output_transform)
+        rng = jax.device_put(
+            jax.random.PRNGKey(self.config["seed"]), replicate(self.mesh))
+
+        not_improve_cnt = 0
+        iteration = 0
+        train_iter = iter(train_loader)
+        for epoch in range(1, epochs + 1):
+            train_loader.set_epoch(epoch)
+            losses = []
+            t0 = time.time()
+            steps = epoch_length or len(train_loader)
+            for _ in range(steps):
+                try:
+                    batch = next(train_iter)
+                except StopIteration:
+                    train_iter = iter(train_loader)
+                    batch = next(train_iter)
+                if lr_update_interval == "iteration" and callable(scheduler):
+                    state = state.replace(opt_state=set_learning_rate(
+                        state.opt_state, scheduler(iteration)))
+                batch = array_batch(batch)
+                batch, _ = pad_batch_to_multiple(batch, n_dev)
+                batch = shard_batch(batch, self.mesh)
+                state, loss = train_step(state, batch, rng)
+                losses.append(loss)
+                iteration += 1
+            train_loss = float(np.mean([np.asarray(l) for l in losses]))
+
+            val_losses = []
+            for batch in val_loader:
+                batch = array_batch(batch)
+                batch, _ = pad_batch_to_multiple(batch, n_dev)
+                batch = shard_batch(batch, self.mesh)
+                val_losses.append(np.asarray(val_step(state, batch)))
+            val_loss = float(np.mean(val_losses))
+
+            lr = get_learning_rate(state.opt_state)
+            if lr_update_interval == "epoch":
+                if hasattr(scheduler, "step"):
+                    new_lr = scheduler.step(val_loss, lr)
+                    if new_lr != lr:
+                        state = state.replace(opt_state=set_learning_rate(
+                            state.opt_state, new_lr))
+                        lr = new_lr
+            self.logger.info(
+                f"epoch: {epoch}  train_loss: {train_loss:.4g}  "
+                f"val_loss: {val_loss:.4g}  lr: {lr:.2g}  "
+                f"({time.time() - t0:.1f}s)")
+
+            if metric_improver(val_loss):
+                not_improve_cnt = 0
+                save_checkpoint(exp_dir / "best", state, epoch,
+                                metric_improver.state_dict(),
+                                not_improve_cnt, include_optim)
+            else:
+                not_improve_cnt += 1
+            if epoch % save_interval == 0:
+                save_checkpoint(exp_dir / "last", state, epoch,
+                                metric_improver.state_dict(),
+                                not_improve_cnt, include_optim)
+            if not_improve_cnt == early_stop:
+                break
+        save_checkpoint(exp_dir / "last", state, epoch,
+                        metric_improver.state_dict(), not_improve_cnt,
+                        include_optim)
+        return state
+
+    def restore_state(self, model, exp_dir: Path, sample_batch: dict,
+                      which: str = "best") -> TrainState:
+        """Weights-only restore for evaluation/finetune (reference
+        resume_checkpoint(finetune=True), run_strong.py:693-709)."""
+        payload, _meta = load_checkpoint(exp_dir / which)
+        return TrainState(params=payload["params"],
+                          batch_stats=payload.get("batch_stats", {}),
+                          opt_state=None, step=0)
