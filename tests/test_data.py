@@ -158,6 +158,26 @@ def test_wstag_negative_sampling(wstag_dir, tmp_path, strategy):
     assert ds2[0]["phrases"] == item["phrases"]
 
 
+def test_clustering_all_clusters_positive(wstag_dir, tmp_path):
+    """Degenerate case: every cluster holds a positive phrase — the
+    reference's multi-pass allocation would loop forever
+    (multi_phrase_dataset.py:248-260); we fall back to random sampling."""
+    root = wstag_dir["root"]
+    label = json.load(open(wstag_dir["label"]))
+    all_phrases = sorted({p for it in label for p in it["phrases"]})
+    # every phrase in ONE cluster → every sample's positives hit it
+    cmap_path = tmp_path / "one_cluster.json"
+    json.dump({0: all_phrases}, open(cmap_path, "w"))
+    ds = AudioSamplePhrasesDataset(
+        audio=str(root / "waveform_fp.csv"), label=str(wstag_dir["label"]),
+        phrase_num=5, fix_neg=False, neg_samp_stratg="clustering",
+        cluster_map=str(cmap_path), seed=3)
+    item = ds[0]  # must not hang
+    assert len(item["phrases"]) == 5
+    pos = int(item["label"].sum())
+    assert not set(label[0]["phrases"]) & set(item["phrases"][pos:])
+
+
 def test_fix_neg_cache(wstag_dir):
     root = wstag_dir["root"]
     ds = AudioSamplePhrasesDataset(

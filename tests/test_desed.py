@@ -1,0 +1,81 @@
+"""DESED zero-shot evaluation components."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from texttoaudiogrounding_tpu.evaluation.decode import (
+    decode_with_timestamps,
+    double_threshold,
+)
+from texttoaudiogrounding_tpu.evaluation.desed import (
+    DESED_CLASSES,
+    evaluate_desed_macro_f1,
+    evaluate_desed_psds,
+)
+
+
+def test_double_threshold():
+    x = np.array([0.1, 0.3, 0.9, 0.3, 0.1, 0.3, 0.3, 0.1])
+    # low region [1,4) contains a high frame → kept; [5,7) has none → dropped
+    out = double_threshold(x, high_thres=0.75, low_thres=0.25)
+    np.testing.assert_array_equal(out, [0, 1, 1, 1, 0, 0, 0, 0])
+    # 3-D batch form
+    batch = np.stack([np.stack([x, x], axis=-1)])
+    out3 = double_threshold(batch, 0.75, 0.25)
+    assert out3.shape == (1, 8, 2)
+
+
+def test_decode_with_timestamps():
+    binary = np.zeros((1, 6, 2), int)
+    binary[0, 1:3, 0] = 1
+    binary[0, 4:6, 1] = 1
+    events = decode_with_timestamps(["a", "b"], binary)[0]
+    assert ("a", 1, 3) in events and ("b", 4, 6) in events
+
+
+def _synthetic_scores(accurate: bool):
+    rng = np.random.default_rng(0)
+    t = 100
+    res = 0.1
+    score_buffer, ground_truth, durations = {}, {}, {}
+    for i in range(4):
+        aid = f"clip{i}"
+        cls = DESED_CLASSES[i % 3]
+        on, off = 20, 60
+        ground_truth[aid] = [(on * res, off * res, cls)]
+        durations[aid] = t * res
+        timestamps = np.arange(t + 1) * res
+        df = pd.DataFrame({"onset": timestamps[:-1],
+                           "offset": timestamps[1:]})
+        for c in DESED_CLASSES:
+            if accurate and c == cls:
+                track = np.full(t, 0.05)
+                track[on:off] = 0.9
+            else:
+                track = rng.uniform(0, 0.2, size=t) if not accurate \
+                    else np.full(t, 0.05)
+            df[c] = track
+        score_buffer[aid] = df
+    return score_buffer, ground_truth, durations
+
+
+def test_desed_psds_and_f1_oracle():
+    scores, gt, durations = _synthetic_scores(accurate=True)
+    psds = evaluate_desed_psds(scores, gt, durations, num_thresholds=20)
+    assert psds["psds1"] > 0.2  # only 3 of 10 classes have events
+    f1 = evaluate_desed_macro_f1(scores, gt, durations,
+                                 time_resolution=0.1)
+    # classes with events are perfectly detected
+    for i in range(3):
+        assert f1["class_f1"][DESED_CLASSES[i]] == pytest.approx(1.0)
+
+
+def test_desed_random_floor():
+    scores, gt, durations = _synthetic_scores(accurate=False)
+    oracle_scores, _, _ = _synthetic_scores(accurate=True)
+    psds_rand = evaluate_desed_psds(scores, gt, durations,
+                                    num_thresholds=20)
+    psds_oracle = evaluate_desed_psds(oracle_scores, gt, durations,
+                                      num_thresholds=20)
+    assert psds_oracle["psds1"] > psds_rand["psds1"]

@@ -37,6 +37,14 @@ def _runner(name: str):
         from texttoaudiogrounding_tpu.training.runner_weak_sentence import \
             WeakSentenceRunner
         return WeakSentenceRunner()
+    if name == "class_mapping_strong":
+        from texttoaudiogrounding_tpu.training.runner_class_mapping import \
+            ClassMappingStrongRunner
+        return ClassMappingStrongRunner()
+    if name == "class_mapping_weak":
+        from texttoaudiogrounding_tpu.training.runner_class_mapping import \
+            ClassMappingWeakRunner
+        return ClassMappingWeakRunner()
     raise SystemExit(f"unknown runner '{name}'")
 
 

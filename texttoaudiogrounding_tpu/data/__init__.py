@@ -21,6 +21,7 @@ from texttoaudiogrounding_tpu.data.datasets import (
     SinglePhraseEvalDataset,
 )
 from texttoaudiogrounding_tpu.data.loader import DataLoader
+import texttoaudiogrounding_tpu.data.class_mapping  # noqa: F401 (registry)
 
 __all__ = [
     "Vocabulary", "build_vocab", "DictTokenizer", "HuggingFaceTokenizer",

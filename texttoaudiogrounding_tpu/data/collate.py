@@ -140,11 +140,24 @@ class VarNumTextCollate(TextCollate):
             if key in self.pad_keys:
                 output[key], output[f"{key}_len"] = self._pad(key, values)
             elif key == self.text_key:
-                output[f"{key}_num"] = np.array([len(x) for x in values])
+                nums = np.array([len(x) for x in values])
+                output[f"{key}_num"] = nums
                 merged = [t for tl in values for t in tl]
                 tokens = self._bucket_text(self.tokenizer(merged))
                 output[key] = tokens["text"]
                 output[f"{key}_len"] = tokens["text_len"]
+                # static-shape gather map: flat row index of phrase n of
+                # sample b (0 for padding; mask with {key}_num) — lets jitted
+                # models re-pack the ragged flat layout without dynamic
+                # splits (reference uses torch.split + pad_sequence,
+                # models/audio_text_model.py:956-957)
+                max_num = int(nums.max()) if len(nums) else 1
+                pad_index = np.zeros((len(nums), max_num), np.int64)
+                offset = 0
+                for b, n in enumerate(nums):
+                    pad_index[b, :n] = np.arange(offset, offset + n)
+                    offset += n
+                output[f"{key}_pad_index"] = pad_index
             else:
                 output[key] = _stack_or_list(values)
         return output

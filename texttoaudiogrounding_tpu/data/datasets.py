@@ -285,7 +285,16 @@ class AudioSamplePhrasesDataset(AudioReadMixin, Dataset):
                 self.cluster_idxs,
                 [self.cluster_idx_to_idx[c] for c in pos_clusters
                  if c in self.cluster_idx_to_idx])
-            if len(cand_clusters) >= neg_phrase_num:
+            if len(cand_clusters) == 0:
+                # degenerate case (every cluster contains a positive — a
+                # latent infinite loop in the reference's multi-pass
+                # allocation, multi_phrase_dataset.py:248-260): fall back
+                # to uniform sampling over non-positive phrases
+                neg_phrases = list(self.rng.choice(
+                    cand_phrases,
+                    size=min(neg_phrase_num, len(cand_phrases)),
+                    replace=False))
+            elif len(cand_clusters) >= neg_phrase_num:
                 chosen = self.rng.choice(cand_clusters,
                                          size=neg_phrase_num, replace=False)
                 for c in chosen:

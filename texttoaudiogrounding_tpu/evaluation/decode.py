@@ -98,6 +98,51 @@ def predictions_to_time(df, ratio: float):
     return df
 
 
+def double_threshold(x: np.ndarray, high_thres: float, low_thres: float,
+                     n_connect: int = 1) -> np.ndarray:
+    """Hysteresis decoding: keep low-threshold regions that contain at
+    least one high-threshold frame (reference utils/sed_utils.py:145-197).
+
+    x: [T], [T, C] or [B, T, C]; the time axis is decoded per track.
+    """
+    x = np.asarray(x)
+    if x.ndim == 3:
+        apply_dim = 1
+    elif x.ndim <= 2:
+        apply_dim = 0
+    return np.apply_along_axis(
+        lambda a: _double_threshold_1d(a, high_thres, low_thres, n_connect),
+        axis=apply_dim, arr=x)
+
+
+def _double_threshold_1d(x: np.ndarray, high_thres: float, low_thres: float,
+                         n_connect: int = 1) -> np.ndarray:
+    high_locations = np.where(x > high_thres)[0]
+    regions = find_contiguous_regions(x > low_thres)
+    kept = [pair for pair in regions
+            if ((pair[0] <= high_locations)
+                & (high_locations <= pair[1])).any()]
+    kept = connect_(kept, n_connect)
+    out = np.zeros_like(x, dtype=int)
+    for lo, hi in kept:
+        out[lo:hi] = 1
+    return out
+
+
+def decode_with_timestamps(classes: list, binary: np.ndarray) -> list:
+    """[B, T, C] 0/1 → per-sample list of (event_label, onset, offset)
+    frame index tuples (reference utils/sed_utils.py decode path)."""
+    results = []
+    for sample in binary:
+        events = []
+        for c, name in enumerate(classes):
+            for onset, offset in find_contiguous_regions(
+                    sample[:, c].astype(bool)):
+                events.append((name, int(onset), int(offset)))
+        results.append(events)
+    return results
+
+
 def decode_multi_threshold(
     scores: np.ndarray,
     thresholds: np.ndarray,

@@ -255,6 +255,9 @@ def compute_psds_sed_scores(scores: Dict[str, pd.DataFrame],
                             duration, fname_to_aid: Dict[str, str],
                             dtc_threshold: float = 0.5,
                             gtc_threshold: float = 0.5,
+                            cttc_threshold: float = 0.0,
+                            alpha_ct: float = 0.0,
+                            alpha_st: float = 0.0,
                             max_efpr: Optional[float] = None,
                             num_thresholds: int = 200,
                             save_dir=None) -> float:
@@ -281,7 +284,8 @@ def compute_psds_sed_scores(scores: Dict[str, pd.DataFrame],
         {"filename": fname, "duration": aid_to_dur[fname_to_aid[fname]]}
         for fname in ground_truth
     ])
-    evaluator = PSDSEvaluator(gt_df, metadata, dtc_threshold, gtc_threshold)
+    evaluator = PSDSEvaluator(gt_df, metadata, dtc_threshold, gtc_threshold,
+                              cttc_threshold)
 
     thresholds = np.linspace(0.0, 1.0, num_thresholds + 1)[1:-1]
     event_cols = {}
@@ -307,7 +311,8 @@ def compute_psds_sed_scores(scores: Dict[str, pd.DataFrame],
         det = pd.DataFrame(rows, columns=["filename", "onset", "offset",
                                           "event_label"])
         evaluator.add_operating_point(det, info={"threshold": th})
-    value, roc = evaluator.psds(max_efpr=max_efpr)
+    value, roc = evaluator.psds(alpha_ct=alpha_ct, alpha_st=alpha_st,
+                                max_efpr=max_efpr)
     if save_dir is not None:
         _plot_roc(roc, save_dir, dtc_threshold, gtc_threshold, max_efpr,
                   prefix="PSDS_sedscores")

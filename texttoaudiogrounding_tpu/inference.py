@@ -1,0 +1,157 @@
+"""Single-clip inference + the public grounding API.
+
+* ``GroundingPredictor`` — the deployment contract of the reference's HF
+  ``AutoModel`` wrapper (models/hf_modeling_grounding.py:338-352):
+  ``predict(audio [B, N], audio_len [B], text List[str]) → frame
+  probabilities at 40 ms resolution`` — tokenization inside, jitted,
+  shape-bucketed.
+* ``run_inference`` — CLI single-clip inference with decode + probability
+  plot (reference python_scripts/inference/inference.py:90-163).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from texttoaudiogrounding_tpu.data.collate import round_up
+from texttoaudiogrounding_tpu.evaluation.decode import (
+    find_contiguous_regions,
+    median_filter,
+)
+from texttoaudiogrounding_tpu.utils.config import parse_config_or_kwargs
+from texttoaudiogrounding_tpu.utils.registry import instantiate
+
+
+class GroundingPredictor:
+    """Batched text-to-audio grounding inference.
+
+    Built from a trained experiment directory (config.yaml + checkpoint),
+    mirroring the reference HF deployment model's forward contract
+    (models/hf_modeling_grounding.py:338-352).
+    """
+
+    def __init__(self, model, variables, tokenizer,
+                 time_resolution: float = 0.04,
+                 audio_bucket: int = 32000, text_bucket: int = 4):
+        import jax
+
+        self.model = model
+        self.variables = variables
+        self.tokenizer = tokenizer
+        self.time_resolution = time_resolution
+        self.audio_bucket = audio_bucket
+        self.text_bucket = text_bucket
+        self._forward = jax.jit(
+            lambda v, b: self.model.apply(v, b, train=False))
+
+    @classmethod
+    def from_experiment(cls, experiment_path: str,
+                        which: str = "best") -> "GroundingPredictor":
+        from texttoaudiogrounding_tpu.training.train_state import \
+            load_checkpoint
+        exp_dir = Path(experiment_path)
+        config = parse_config_or_kwargs(exp_dir / "config.yaml")
+        model = instantiate(config["model"])
+        payload, _ = load_checkpoint(exp_dir / which)
+        variables = {"params": payload["params"]}
+        if payload.get("batch_stats"):
+            variables["batch_stats"] = payload["batch_stats"]
+        tokenizer = instantiate(
+            config["data"]["train"]["collate_fn"]["args"]["tokenizer"])
+        time_res = config["data"]["train"]["dataset"]["args"].get(
+            "time_resolution",
+            config.get("inference_args", {}).get("time_resolution", 0.04))
+        return cls(model, variables, tokenizer, time_resolution=time_res)
+
+    def predict(self, audio: np.ndarray, audio_len: np.ndarray,
+                text: List[str]) -> np.ndarray:
+        """``audio [B, N]``, ``audio_len [B]``, ``text`` (B strings) →
+        frame probabilities ``[B, T]`` (padded frames zeroed)."""
+        audio = np.atleast_2d(np.asarray(audio, np.float32))
+        audio_len = np.asarray(audio_len, np.int32).reshape(-1)
+        pad_n = round_up(audio.shape[1], self.audio_bucket)
+        audio = np.pad(audio, ((0, 0), (0, pad_n - audio.shape[1])))
+        tokens = self.tokenizer(list(text))
+        text_ids = tokens["text"]
+        pad_l = round_up(text_ids.shape[1], self.text_bucket)
+        text_ids = np.pad(text_ids, ((0, 0), (0, pad_l - text_ids.shape[1])))
+        batch = {
+            "waveform": audio,
+            "waveform_len": audio_len,
+            "text": text_ids.astype(np.int32),
+            "text_len": np.asarray(tokens["text_len"], np.int32),
+        }
+        # MultiText models expect a phrase axis: [B, L] → [B, 1, L]
+        # (reference eval unsqueeze, run_weak_phrase.py:48-50)
+        if hasattr(self.model, "text_forward_keys"):
+            batch["text"] = batch["text"][:, None]
+            batch["text_len"] = batch["text_len"][:, None]
+        out = self._forward(self.variables, batch)
+        frame_sim = np.asarray(out["frame_sim"])
+        if frame_sim.ndim == 3:
+            frame_sim = frame_sim[..., 0]
+        lengths = np.asarray(out["length"])
+        mask = np.arange(frame_sim.shape[1])[None] < lengths[:, None]
+        return frame_sim * mask
+
+    def ground(self, audio: np.ndarray, audio_len, text: List[str],
+               threshold: float = 0.5, window_size: int = 1
+               ) -> list[list[tuple[float, float]]]:
+        """Decode per-clip (onset, offset) second segments."""
+        probs = self.predict(audio, audio_len, text)
+        results = []
+        for prob in probs:
+            n = int(np.count_nonzero(prob > 0)) or prob.shape[0]
+            filtered = median_filter(prob[None, :n], window_size=window_size,
+                                     threshold=threshold)[0]
+            segs = find_contiguous_regions(filtered) * self.time_resolution
+            results.append([tuple(map(float, row)) for row in segs])
+        return results
+
+
+def run_inference(experiment_path: str, audio: str, phrase: str,
+                  output: Optional[str] = None, sample_rate: int = 32000,
+                  threshold: float = 0.5, which: str = "best"):
+    """CLI single-clip inference (reference
+    python_scripts/inference/inference.py:90-163): decode segments, print
+    them, and write a probability plot."""
+    from texttoaudiogrounding_tpu.data.h5io import load_wav
+
+    predictor = GroundingPredictor.from_experiment(experiment_path,
+                                                   which=which)
+    waveform = load_wav(audio, sample_rate)
+    duration = waveform.shape[0] / sample_rate
+    probs = predictor.predict(waveform[None], [waveform.shape[0]], [phrase])
+    n_frames = int(np.asarray([waveform.shape[0]])[0]
+                   // (sample_rate * predictor.time_resolution)) + 1
+    prob = probs[0]
+    prob = prob[:max((prob > 0).sum(), 1)]
+
+    filtered = median_filter(prob[None, :], window_size=1,
+                             threshold=threshold)[0]
+    segments = [[row[0] * predictor.time_resolution,
+                 row[1] * predictor.time_resolution]
+                for row in find_contiguous_regions(filtered)]
+    print(segments)
+
+    if output is not None:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        plt.figure(figsize=(14, 5))
+        plt.plot(prob)
+        plt.axhline(y=threshold, color="r", linestyle="--")
+        xlabels = [f"{x:.2f}" for x in np.arange(0, duration, duration / 5)]
+        plt.xticks(ticks=np.arange(0, len(prob), len(prob) / 5),
+                   labels=xlabels, fontsize=15)
+        plt.xlabel("Time / second", fontsize=14)
+        plt.ylabel("Probability", fontsize=14)
+        plt.ylim(0, 1)
+        out_path = Path(output)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        plt.savefig(out_path, bbox_inches="tight", dpi=150)
+        plt.close()
+    return segments

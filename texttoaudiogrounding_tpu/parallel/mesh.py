@@ -48,10 +48,18 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     they never enter jit.
     """
     sharding = batch_sharding(mesh, axis)
+    rep = replicate(mesh)
+    axis_size = int(np.prod([mesh.shape[a] for a in ([axis] if
+                             isinstance(axis, str) else axis)]))
     out = {}
     for key, value in batch.items():
         if isinstance(value, (np.ndarray, jax.Array)) and np.ndim(value) > 0:
-            out[key] = jax.device_put(value, sharding)
+            # keys whose leading dim doesn't divide the mesh (e.g. flat
+            # ragged phrase tensors [sum(N), L]) are replicated instead
+            if value.shape[0] % axis_size == 0:
+                out[key] = jax.device_put(value, sharding)
+            else:
+                out[key] = jax.device_put(value, rep)
         else:
             out[key] = value
     return out

@@ -161,6 +161,7 @@ def get_learning_rate(opt_state) -> float:
     return float(target.hyperparams["learning_rate"])
 
 
+@register("torch.optim.lr_scheduler.ReduceLROnPlateau")
 @register("ReduceLROnPlateau")
 class ReduceLROnPlateau:
     """torch ``ReduceLROnPlateau`` semantics (used at reference

@@ -141,7 +141,9 @@ class BaseRunner:
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
                     mutable = ["batch_stats"]
-                result = model.apply(variables, batch, train=True,
+                inputs = dict(batch)
+                inputs.update(getattr(self, "_static_train_inputs", {}))
+                result = model.apply(variables, inputs, train=True,
                                      rngs=rngs, mutable=mutable)
                 output, mutated = result if mutable else (result, {})
                 output = output_transform(output, batch)
@@ -160,10 +162,7 @@ class BaseRunner:
                 opt_state=opt_state, step=state.step + 1)
             return new_state, loss
 
-        return jax.jit(train_step,
-                       in_shardings=(rep, data, rep),
-                       out_shardings=(rep, rep),
-                       donate_argnums=(0,))
+        return jax.jit(train_step, donate_argnums=(0,))
 
     def make_val_step(self, model, loss_fn, output_transform: Callable):
         mesh = self.mesh
@@ -178,8 +177,7 @@ class BaseRunner:
             output = output_transform(output, batch)
             return loss_fn(output)
 
-        return jax.jit(val_step, in_shardings=(rep, data),
-                       out_shardings=rep)
+        return jax.jit(val_step)
 
     def make_forward(self, model):
         mesh = self.mesh
@@ -192,7 +190,7 @@ class BaseRunner:
                 variables["batch_stats"] = state.batch_stats
             return model.apply(variables, batch, train=False)
 
-        return jax.jit(forward, in_shardings=(rep, data), out_shardings=rep)
+        return jax.jit(forward)
 
     # ------------------------------------------------------------ main loop
     def setup(self, config, overrides=None, **kwargs):
@@ -240,6 +238,7 @@ class BaseRunner:
             raise ValueError("empty train loader")
         sample_batch = array_batch(sample_batch)
         state = self.init_state(model, sample_batch)
+        state = jax.device_put(state, replicate(self.mesh))
         num_params = sum(int(np.prod(x.shape))
                          for x in jax.tree.leaves(state.params))
         self.logger.info(f"{num_params} parameters in total; "
