@@ -238,11 +238,29 @@ class BaseRunner:
             raise ValueError("empty train loader")
         sample_batch = array_batch(sample_batch)
         state = self.init_state(model, sample_batch)
-        state = jax.device_put(state, replicate(self.mesh))
         num_params = sum(int(np.prod(x.shape))
                          for x in jax.tree.leaves(state.params))
         self.logger.info(f"{num_params} parameters in total; "
                          f"mesh={self.mesh}")
+
+        # resume (reference run_strong.py:693-709, 762-765): ``finetune``
+        # restores weights only; otherwise optimizer/epoch/monitor state too
+        start_epoch = 1
+        resume_meta: dict = {}
+        if self.config.get("resume"):
+            finetune = self.config.get("finetune",
+                                       trainer.get("finetune", False))
+            state, resume_meta = self._resume(state, self.config["resume"],
+                                              finetune=finetune)
+            if not finetune:
+                start_epoch = resume_meta.get("epoch", 0) + 1
+                metric_improver.load_state_dict(
+                    resume_meta.get("metric_monitor",
+                                    metric_improver.state_dict()))
+        state = jax.device_put(state, replicate(self.mesh))
+
+        if self.config.get("trainer", {}).get("debug_nans"):
+            jax.config.update("jax_debug_nans", True)
 
         if "lr_scheduler" in self.config:
             scheduler = instantiate(self.config["lr_scheduler"])
@@ -258,13 +276,22 @@ class BaseRunner:
         rng = jax.device_put(
             jax.random.PRNGKey(self.config["seed"]), replicate(self.mesh))
 
-        not_improve_cnt = 0
+        from texttoaudiogrounding_tpu.training.profiling import (
+            StepProfiler,
+            ThroughputMeter,
+        )
+        profiler = StepProfiler(trainer.get("profile"), exp_dir)
+        meter = ThroughputMeter()
+
+        not_improve_cnt = resume_meta.get("not_improve_cnt", 0)
         iteration = 0
+        epoch = start_epoch - 1
         train_iter = iter(train_loader)
-        for epoch in range(1, epochs + 1):
+        for epoch in range(start_epoch, epochs + 1):
             train_loader.set_epoch(epoch)
             losses = []
             t0 = time.time()
+            meter.reset()
             steps = epoch_length or len(train_loader)
             for _ in range(steps):
                 try:
@@ -276,12 +303,16 @@ class BaseRunner:
                     state = state.replace(opt_state=set_learning_rate(
                         state.opt_state, scheduler(iteration)))
                 batch = array_batch(batch)
-                batch, _ = pad_batch_to_multiple(batch, n_dev)
+                batch, real_bs = pad_batch_to_multiple(batch, n_dev)
                 batch = shard_batch(batch, self.mesh)
+                profiler.step(iteration)
                 state, loss = train_step(state, batch, rng)
                 losses.append(loss)
+                meter.update(real_bs)
                 iteration += 1
+            profiler.close()
             train_loss = float(np.mean([np.asarray(l) for l in losses]))
+            throughput = meter.summary()
 
             val_losses = []
             for batch in val_loader:
@@ -302,7 +333,7 @@ class BaseRunner:
             self.logger.info(
                 f"epoch: {epoch}  train_loss: {train_loss:.4g}  "
                 f"val_loss: {val_loss:.4g}  lr: {lr:.2g}  "
-                f"({time.time() - t0:.1f}s)")
+                f"({time.time() - t0:.1f}s, {throughput})")
 
             if metric_improver(val_loss):
                 not_improve_cnt = 0
@@ -330,3 +361,54 @@ class BaseRunner:
         return TrainState(params=payload["params"],
                           batch_stats=payload.get("batch_stats", {}),
                           opt_state=None, step=0)
+
+    def _resume(self, state: TrainState, ckpt_path,
+                finetune: bool = False) -> tuple[TrainState, dict]:
+        """Restore a training checkpoint into a freshly-initialized state.
+
+        Full resume restores the optimizer state with the live opt-state
+        pytree as the orbax template (so NamedTuple structure and dtypes
+        match); ``.pth`` paths route through the torch importer.
+        """
+        ckpt_path = str(ckpt_path)
+        if ckpt_path.endswith((".pth", ".pt")):
+            from texttoaudiogrounding_tpu.training.torch_import import (
+                import_biencoder,
+                load_torch_state_dict,
+                merge_into_variables,
+            )
+            sd = load_torch_state_dict(ckpt_path)
+            imported = import_biencoder(sd)
+            variables = merge_into_variables(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                imported, log_fn=self.logger.info)
+            return state.replace(params=variables["params"],
+                                 batch_stats=variables["batch_stats"]), {}
+
+        import json as _json
+        from pathlib import Path as _Path
+        meta_path = (_Path(ckpt_path).parent
+                     / f"{_Path(ckpt_path).name}.meta.json")
+        meta = {}
+        if meta_path.exists():
+            with open(meta_path) as f:
+                meta = _json.load(f)
+        if finetune:
+            # weights only — template-free restore tolerates checkpoints
+            # with or without optimizer state
+            payload, _ = load_checkpoint(ckpt_path)
+        else:
+            template = {"params": state.params,
+                        "batch_stats": state.batch_stats}
+            if meta.get("include_optim"):
+                template["opt_state"] = state.opt_state
+            payload, _ = load_checkpoint(ckpt_path, template)
+        state = state.replace(params=payload["params"],
+                              batch_stats=payload.get("batch_stats",
+                                                      state.batch_stats))
+        if not finetune and "opt_state" in payload:
+            state = state.replace(opt_state=payload["opt_state"],
+                                  step=meta.get("step", 0))
+        self.logger.info(f"resumed from {ckpt_path} "
+                         f"(finetune={finetune}, epoch={meta.get('epoch')})")
+        return state, ({} if finetune else meta)
