@@ -201,14 +201,32 @@ def power_spectrogram(waveform: jax.Array, cfg: LogMelConfig,
 
 
 def log_mel_spectrogram(waveform: jax.Array, cfg: LogMelConfig,
-                        use_fft: bool = False) -> jax.Array:
+                        use_fft: bool = False,
+                        use_pallas: str | bool = "auto") -> jax.Array:
     """``[B, N] -> [B, T, n_mels]`` log-mel (dB) spectrogram.
 
     Equivalent to torchaudio ``MelSpectrogram`` + ``AmplitudeToDB`` as used
     by the reference encoders, except laid out time-major ``[B, T, mel]``
     (the reference transposes to that layout immediately anyway,
     models/audio_encoder.py:185).
+
+    ``use_pallas="auto"`` routes to the fused Pallas kernel on TPU
+    (framing + DFT + power + mel + dB in one kernel, no HBM spectrum
+    round-trip); the pure-XLA path below is the fallback and reference.
     """
+    if use_pallas == "auto":
+        # the fused kernel wins standalone but acts as a fusion barrier
+        # inside the full model graph — opt in via env until the kernel
+        # also covers the bn0 stage
+        import os
+        use_pallas = os.environ.get("TTG_PALLAS_FRONTEND", "0") == "1"
+    if use_pallas and not use_fft and cfg.top_db is None:
+        from texttoaudiogrounding_tpu.ops.pallas.logmel import (
+            fused_log_mel_spectrogram,
+            pallas_supported,
+        )
+        if pallas_supported():
+            return fused_log_mel_spectrogram(waveform, cfg)
     power = power_spectrogram(waveform, cfg, use_fft=use_fft)
     fb = jnp.asarray(mel_filterbank(cfg))
     mel = jnp.einsum("btf,fm->btm", power, fb,
