@@ -83,9 +83,11 @@ def main(argv=None):
     if command == "train_evaluate":
         return runner.train_evaluate(args.config, args.eval_config,
                                      args.overrides)
-    if command == "evaluate_psds":
-        return runner.evaluate_psds(args.experiment_path, args.eval_config,
-                                    args.overrides)
+    if command in ("evaluate_psds", "evaluate_th_auc",
+                   "evaluate_collar_auc", "evaluate_intersection_auc",
+                   "evaluate_psds_single", "evaluate_tagging"):
+        return getattr(runner, command)(args.experiment_path,
+                                        args.eval_config, args.overrides)
     if command == "evaluate_random":
         return runner.evaluate_random(args.eval_config, args.overrides)
     if command == "debug":

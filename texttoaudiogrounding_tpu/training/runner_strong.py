@@ -167,22 +167,9 @@ class StrongRunner(BaseRunner):
         """Full metric suite on the test set (reference
         run_strong.py:814-905): sed_scores-path PSDS over max_efprs +
         th-AUC over two ranges, predictions/plots dumped to the exp dir."""
-        eval_config = parse_config_or_kwargs(eval_config, overrides or [],
-                                             **kwargs)
-        exp_dir = Path(experiment_path)
-        self.setup(exp_dir / "config.yaml")
-        self.config["eval_config"] = {
-            "n_thresholds": eval_config.get("n_thresholds", 50)}
-        self.config["inference_args"] = {
-            "window_size": eval_config.get("window_size", 1)}
-
-        model = self.build_model()
-        test_cfg = eval_config["data"]["test"]
-        self._copy_train_keys(test_cfg)
-        dataloader = self.build_dataloader(test_cfg, shuffle=False)
-        sample = next(iter(dataloader))
-        which = eval_config.get("resume", "best").replace(".pth", "")
-        state = self.restore_state(model, exp_dir, sample, which=which)
+        exp_dir, eval_config, model, state, dataloader = \
+            self._load_for_eval(experiment_path, eval_config, overrides,
+                                **kwargs)
         output = self.eval_inference(dataloader, model, state)
         return self._report_metrics(output, eval_config, exp_dir)
 
@@ -243,24 +230,38 @@ class StrongRunner(BaseRunner):
                 print(line, file=writer)
         return results
 
-    def evaluate_psds(self, experiment_path, eval_config, overrides=None,
-                      **kwargs) -> dict:
-        """Operating-point PSDS variant (psds_eval path, reference
-        run_strong.py:1015-1040): dtc=gtc ∈ {0.1, 0.5, 0.7} scenarios."""
+    def _load_for_eval(self, experiment_path, eval_config,
+                       overrides=None, **kwargs):
+        """Shared eval boilerplate: reload exp config, rebuild model,
+        restore checkpoint, build the test loader."""
         eval_config = parse_config_or_kwargs(eval_config, overrides or [],
                                              **kwargs)
         exp_dir = Path(experiment_path)
         self.setup(exp_dir / "config.yaml")
         self.config["eval_config"] = {
             "n_thresholds": eval_config.get("n_thresholds", 50)}
-        self.config["inference_args"] = {
-            "window_size": eval_config.get("window_size", 1)}
+        inf_args = {"window_size": eval_config.get("window_size", 1)}
+        if "time_resolution" in eval_config:
+            inf_args["time_resolution"] = eval_config["time_resolution"]
+        if "word_aggregation" in eval_config:
+            inf_args["word_aggregation"] = eval_config["word_aggregation"]
+        self.config["inference_args"] = inf_args
         model = self.build_model()
         test_cfg = eval_config["data"]["test"]
         self._copy_train_keys(test_cfg)
         dataloader = self.build_dataloader(test_cfg, shuffle=False)
         sample = next(iter(dataloader))
-        state = self.restore_state(model, exp_dir, sample)
+        which = eval_config.get("resume", "best").replace(".pth", "")
+        state = self.restore_state(model, exp_dir, sample, which=which)
+        return exp_dir, eval_config, model, state, dataloader
+
+    def evaluate_psds(self, experiment_path, eval_config, overrides=None,
+                      **kwargs) -> dict:
+        """Operating-point PSDS variant (psds_eval path, reference
+        run_strong.py:966-1052): dtc=gtc ∈ {0.1, 0.5, 0.7} scenarios."""
+        exp_dir, eval_config, model, state, dataloader = \
+            self._load_for_eval(experiment_path, eval_config, overrides,
+                                **kwargs)
         output = self.eval_inference(dataloader, model, state)
         results = {}
         for dtc_gtc in eval_config.get("dtc_gtc_thresholds",
@@ -273,6 +274,97 @@ class StrongRunner(BaseRunner):
             results[f"psds_op@dtc=gtc={dtc_gtc}"] = value
             print(f"dtc=gtc={dtc_gtc}: psds={value:.1%}")
         return results
+
+    def evaluate_th_auc(self, experiment_path, eval_config, overrides=None,
+                        **kwargs) -> dict:
+        """Standalone th-AUC over the full threshold range (reference
+        run_strong.py:1054-1116)."""
+        exp_dir, eval_config, model, state, dataloader = \
+            self._load_for_eval(experiment_path, eval_config, overrides,
+                                **kwargs)
+        output = self.eval_inference(dataloader, model, state)
+        value = compute_th_auc(
+            output["pred_buffer"],
+            output["gt_df"].drop(columns=["event_label", "audio_id"]),
+            dtc_threshold=0.5, gtc_threshold=0.5,
+            save_dir=exp_dir / eval_config.get("th_auc_dir", "th_auc"))
+        print(f"th_auc_scenario1: {value:.1%}")
+        return {"th_auc": value}
+
+    def evaluate_collar_auc(self, experiment_path, eval_config,
+                            overrides=None, **kwargs) -> dict:
+        """Collar-based F-score-curve AUC (reference
+        run_strong.py:1118-1163)."""
+        from texttoaudiogrounding_tpu.evaluation.curves import \
+            collar_fscore_curve
+
+        exp_dir, eval_config, model, state, dataloader = \
+            self._load_for_eval(experiment_path, eval_config, overrides,
+                                **kwargs)
+        output = self.eval_inference(dataloader, model, state)
+        collar = eval_config.get("collar", 0.2)
+        result = collar_fscore_curve(
+            output["score_buffer"], output["gt_dict"],
+            onset_collar=collar, offset_collar=collar,
+            offset_collar_rate=eval_config.get("offset_collar_rate", 0.2),
+            num_thresholds=eval_config.get("n_thresholds", 50))
+        print(f"collar auc: {result['auc']:.2%}")
+        return {"collar_auc": result["auc"]}
+
+    def evaluate_intersection_auc(self, experiment_path, eval_config,
+                                  overrides=None, **kwargs) -> dict:
+        """Intersection-criteria threshold AUC + best F1 (reference
+        run_strong.py:1166-1207)."""
+        from texttoaudiogrounding_tpu.evaluation.curves import \
+            intersection_fscore_curve
+
+        exp_dir, eval_config, model, state, dataloader = \
+            self._load_for_eval(experiment_path, eval_config, overrides,
+                                **kwargs)
+        output = self.eval_inference(dataloader, model, state)
+        result = intersection_fscore_curve(
+            output["score_buffer"], output["gt_dict"],
+            dtc_threshold=0.5, gtc_threshold=0.5,
+            num_thresholds=eval_config.get("n_thresholds", 50))
+        print(f"intersection auc: {result['score']:.2%}")
+        print(f"best f1: {result['f_max']:.2%}")
+        return {"intersection_auc": result["score"],
+                "best_f1": result["f_max"]}
+
+    def evaluate_psds_single(self, experiment_path, eval_config,
+                             overrides=None, **kwargs) -> pd.DataFrame:
+        """Per-sample PSDS: each audio item scored through the full metric
+        pipeline individually (reference run_strong.py:1219-1263)."""
+        exp_dir, eval_config, model, state, dataloader = \
+            self._load_for_eval(experiment_path, eval_config, overrides,
+                                **kwargs)
+        dataset = dataloader.dataset
+        all_data = list(dataset.data)
+        duration = eval_config["data"]["test"]["duration"]
+        results = []
+        for single in all_data:
+            dataset.data = [single]
+            if hasattr(dataset, "generate_index"):
+                dataset.generate_index()
+            output = self.eval_inference(dataloader, model, state)
+            if len(output["gt_df"]) == 0:
+                continue
+            psds = compute_psds_sed_scores(
+                scores=output["score_buffer"],
+                ground_truth=output["gt_dict"], duration=duration,
+                fname_to_aid=output["fname_to_aid"],
+                dtc_threshold=0.5, gtc_threshold=0.5,
+                max_efpr=eval_config.get("max_efpr"))
+            results.append({"audiocap_id": single["audiocap_id"],
+                            "psds": psds})
+        dataset.data = all_data
+        if hasattr(dataset, "generate_index"):
+            dataset.generate_index()
+        df = pd.DataFrame(results)
+        out = eval_config.get("output")
+        if out:
+            df.to_csv(exp_dir / out, sep="\t", index=False)
+        return df
 
     # -------------------------------------------------------- sanity floors
     def evaluate_random(self, eval_config, overrides=None, **kwargs) -> dict:
