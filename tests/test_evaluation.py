@@ -209,6 +209,64 @@ def test_sed_eval_metrics():
     assert segment["class_wise"]["dog"]["f_measure"] == pytest.approx(0.8)
 
 
+def test_exact_psd_roc_matches_dense_grid(rng):
+    """The change-point sweep must agree with a fine dense-threshold grid
+    through the operating-point engine (grid → exact as it refines)."""
+    import pandas as pd
+
+    from texttoaudiogrounding_tpu.evaluation.psds import (
+        compute_psds_sed_scores,
+        exact_single_class_psd_roc,
+    )
+
+    res = 0.1
+    scores, gt, durations = {}, {}, {}
+    for i in range(6):
+        fname = f"f{i}"
+        track = np.round(rng.uniform(size=80), 2)  # few unique values
+        track[20:50] += 0.5
+        track = np.clip(track, 0, 1)
+        t = np.arange(81) * res
+        scores[fname] = pd.DataFrame({"onset": t[:-1], "offset": t[1:],
+                                      "fake_event": track})
+        gt[fname] = [(2.0, 5.0, "fake_event")]
+        durations[fname] = 8.0
+
+    exact, _ = exact_single_class_psd_roc(scores, gt, durations,
+                                          max_efpr=100.0)
+    # dense grid through the generic evaluator (force the non-exact path
+    # by calling the operating-point engine directly)
+    dur_df = pd.DataFrame([{"audio_id": k, "duration": v}
+                           for k, v in durations.items()])
+    gt_rows = [{"filename": f, "onset": on, "offset": off,
+                "event_label": lbl}
+               for f, evs in gt.items() for on, off, lbl in evs]
+    meta = pd.DataFrame([{"filename": f, "duration": durations[f]}
+                         for f in scores])
+    ev = PSDSEvaluator(pd.DataFrame(gt_rows), meta, 0.5, 0.5)
+    for th in np.linspace(0.001, 0.999, 400):
+        rows = []
+        for fname, df in scores.items():
+            vals = df["fake_event"].values >= th
+            if not vals.any():
+                continue
+            change = np.flatnonzero(np.diff(np.r_[0, vals.astype(int), 0]))
+            for lo, hi in change.reshape(-1, 2):
+                rows.append({"filename": fname,
+                             "onset": df["onset"].values[lo],
+                             "offset": df["offset"].values[hi - 1],
+                             "event_label": "fake_event"})
+        ev.add_operating_point(pd.DataFrame(
+            rows, columns=["filename", "onset", "offset", "event_label"]))
+    dense, _ = ev.psds(max_efpr=100.0)
+    assert exact == pytest.approx(dense, abs=0.02)
+
+    # the public wrapper routes single-class to the exact path
+    value = compute_psds_sed_scores(
+        scores, gt, dur_df, {f: f for f in scores}, max_efpr=100.0)
+    assert value == pytest.approx(exact)
+
+
 def test_perfect_scores_beat_random_end_to_end(rng):
     """Decode + PSDS + th-AUC pipeline: oracle scores must beat random
     (the reference's evaluate_random sanity floor, run_strong.py:279-380)."""

@@ -250,6 +250,96 @@ def compute_psds(prediction_dfs: Dict[float, pd.DataFrame],
     return value
 
 
+def _file_count_curves(score: np.ndarray, timestamps: np.ndarray,
+                       gt_events: list, dtc: float, gtc: float):
+    """Exact per-file TP/FP counts as step functions of the threshold.
+
+    Detections for any τ equal those at the next unique score value ≥ τ,
+    so evaluating at each unique score covers every distinct detection
+    set (the sed_scores_eval change-point principle).  Returns
+    (taus_desc, tp_counts, fp_counts) aligned arrays.
+    """
+    from texttoaudiogrounding_tpu.evaluation.decode import \
+        find_contiguous_regions
+
+    uniques = np.unique(score)[::-1]  # descending
+    gts = np.array([[on, off] for on, off in gt_events]) \
+        if gt_events else np.zeros((0, 2))
+    gt_dur = (gts[:, 1] - gts[:, 0]) if len(gts) else np.zeros(0)
+    tps = np.zeros(len(uniques), np.int64)
+    fps = np.zeros(len(uniques), np.int64)
+    for i, tau in enumerate(uniques):
+        regions = find_contiguous_regions(score >= tau)
+        if len(regions) == 0:
+            continue
+        onsets = timestamps[regions[:, 0]]
+        offsets = timestamps[regions[:, 1]]
+        det_dur = offsets - onsets
+        if len(gts):
+            inter = (np.minimum(offsets[:, None], gts[None, :, 1])
+                     - np.maximum(onsets[:, None], gts[None, :, 0]))
+            inter = np.maximum(inter, 0.0)              # [D, G]
+            det_prec = inter.sum(1) / np.maximum(det_dur, 1e-15)
+            dtc_valid = det_prec >= dtc
+            coverage = inter[dtc_valid].sum(0) / np.maximum(gt_dur, 1e-15)
+            tps[i] = int((coverage >= gtc).sum())
+            fps[i] = int((~dtc_valid).sum())
+        else:
+            fps[i] = len(regions)
+    return uniques, tps, fps
+
+
+def exact_single_class_psd_roc(scores: Dict[str, pd.DataFrame],
+                               ground_truth: Dict[str, list],
+                               durations: Dict[str, float],
+                               dtc_threshold: float = 0.5,
+                               gtc_threshold: float = 0.5,
+                               max_efpr: Optional[float] = None,
+                               event_class: str = "fake_event"):
+    """Threshold-free single-class PSDS (sed_scores_eval semantics).
+
+    A global change-point sweep: per-file step-function TP/FP counts are
+    merged as deltas sorted by descending threshold, giving the exact
+    (eTPR, eFPR) curve at every distinct operating point.  Reference path:
+    utils/eval_util.py:226-292.
+    """
+    total_duration = float(sum(durations.values()))
+    num_gts = sum(len(v) for v in ground_truth.values())
+    taus_all, dtp_all, dfp_all = [], [], []
+    for fname, df in scores.items():
+        score = df[event_class].values
+        timestamps = np.r_[df["onset"].values, df["offset"].values[-1]]
+        gt_events = [(on, off) for on, off, *_ in
+                     ground_truth.get(fname, [])]
+        taus, tps, fps = _file_count_curves(
+            score, timestamps, gt_events, dtc_threshold, gtc_threshold)
+        # deltas vs the next-higher threshold (counts above max are 0)
+        dtp = np.diff(np.r_[0, tps])
+        dfp = np.diff(np.r_[0, fps])
+        taus_all.append(taus)
+        dtp_all.append(dtp)
+        dfp_all.append(dfp)
+    if not taus_all:
+        return 0.0, (np.zeros(1), np.zeros(1))
+    taus = np.concatenate(taus_all)
+    dtp = np.concatenate(dtp_all)
+    dfp = np.concatenate(dfp_all)
+    # aggregate deltas at identical thresholds FIRST — applying ties
+    # one-by-one would create fictional intermediate operating points
+    uniq, inverse = np.unique(taus, return_inverse=True)
+    tp_d = np.bincount(inverse, weights=dtp, minlength=len(uniq))
+    fp_d = np.bincount(inverse, weights=dfp, minlength=len(uniq))
+    # descending threshold sweep
+    tp = np.cumsum(tp_d[::-1])
+    fp = np.cumsum(fp_d[::-1])
+    tpr = tp / max(num_gts, 1e-15)
+    efpr = fp / max(total_duration, 1e-15) * 3600.0
+    if max_efpr is None:
+        max_efpr = float(efpr.max()) if efpr.max() > 0 else 1.0
+    auc = staircase_auc(tpr, efpr, max_x=max_efpr)
+    return auc / max_efpr, (tpr, efpr)
+
+
 def compute_psds_sed_scores(scores: Dict[str, pd.DataFrame],
                             ground_truth: Dict[str, list],
                             duration, fname_to_aid: Dict[str, str],
@@ -273,6 +363,26 @@ def compute_psds_sed_scores(scores: Dict[str, pd.DataFrame],
     if not isinstance(duration, pd.DataFrame):
         duration = pd.read_csv(duration, sep="\t")
     aid_to_dur = dict(zip(duration["audio_id"], duration["duration"]))
+
+    # single-class grounding with alpha_ct = alpha_st = 0: use the exact
+    # threshold-free change-point sweep (no grid approximation)
+    event_cols_set = {tuple(c for c in df.columns
+                            if c not in ("onset", "offset"))
+                      for df in scores.values()}
+    if (len(event_cols_set) == 1 and len(next(iter(event_cols_set))) == 1
+            and alpha_ct == 0.0 and alpha_st == 0.0
+            and cttc_threshold == 0.0):
+        event_class = next(iter(event_cols_set))[0]
+        durations = {fname: aid_to_dur[fname_to_aid[fname]]
+                     for fname in scores}
+        value, roc = exact_single_class_psd_roc(
+            scores, ground_truth, durations,
+            dtc_threshold=dtc_threshold, gtc_threshold=gtc_threshold,
+            max_efpr=max_efpr, event_class=event_class)
+        if save_dir is not None:
+            _plot_roc((roc[0], roc[1]), save_dir, dtc_threshold,
+                      gtc_threshold, max_efpr, prefix="PSDS_sedscores")
+        return value
 
     gt_rows = []
     for fname, events in ground_truth.items():
