@@ -28,7 +28,7 @@ def main():
     batch_size = int(__import__("os").environ.get("BENCH_BATCH", 128))
     iters = int(__import__("os").environ.get("BENCH_ITERS", 20))
 
-    model = _flagship_model()
+    model = _flagship_model(serving=True)
     batch = _example_batch(batch_size=batch_size)
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
                            train=False)

@@ -1,0 +1,82 @@
+"""Native C++ decode kernels vs the NumPy reference (bit parity)."""
+
+import numpy as np
+import pytest
+
+from texttoaudiogrounding_tpu.native import (
+    decode_multi_threshold_native,
+    file_count_curves_native,
+    get_lib,
+)
+
+requires_native = pytest.mark.skipif(get_lib() is None,
+                                     reason="native toolchain unavailable")
+
+
+@requires_native
+def test_decode_parity(rng):
+    from texttoaudiogrounding_tpu.evaluation.decode import \
+        decode_multi_threshold
+
+    scores = rng.uniform(size=500).astype(np.float32)
+    thresholds = np.arange(1, 20) / 20.0
+    for window, n_connect in ((1, 1), (3, 13), (4, 5)):
+        ref = decode_multi_threshold(scores, thresholds, window,
+                                     connect_n=n_connect,
+                                     time_resolution=0.04,
+                                     use_native=False)
+        native = decode_multi_threshold_native(scores, thresholds, window,
+                                               n_connect, 0.04)
+        assert native is not None
+        assert len(native) == len(ref)
+        for a, b in zip(native, ref):
+            np.testing.assert_allclose(a, b, err_msg=f"w={window}")
+
+
+@requires_native
+def test_count_curves_parity(rng):
+    from texttoaudiogrounding_tpu.evaluation.psds import _file_count_curves
+
+    score = np.round(rng.uniform(size=200), 2).astype(np.float32)
+    timestamps = np.arange(201) * 0.04
+    gt_events = [(0.5, 2.0), (4.0, 6.5)]
+    native = file_count_curves_native(score, timestamps, gt_events,
+                                      0.5, 0.5)
+    assert native is not None
+    # reference numpy path (bypass the native shortcut)
+    import texttoaudiogrounding_tpu.native as nat
+    lib = nat._lib
+    nat._lib, nat._tried = None, True
+    try:
+        ref = _file_count_curves(score, timestamps, gt_events, 0.5, 0.5)
+    finally:
+        nat._lib, nat._tried = lib, True
+    np.testing.assert_allclose(native[0], ref[0])
+    np.testing.assert_array_equal(native[1], ref[1])
+    np.testing.assert_array_equal(native[2], ref[2])
+
+
+@requires_native
+def test_native_speedup(rng):
+    """The native sweep should be meaningfully faster on a large track."""
+    import time
+
+    from texttoaudiogrounding_tpu.evaluation.psds import _file_count_curves
+    score = rng.uniform(size=2000).astype(np.float32)
+    timestamps = np.arange(2001) * 0.04
+    gts = [(1.0, 5.0), (20.0, 30.0), (50.0, 60.0)]
+
+    t0 = time.time()
+    file_count_curves_native(score, timestamps, gts, 0.5, 0.5)
+    native_t = time.time() - t0
+
+    import texttoaudiogrounding_tpu.native as nat
+    lib = nat._lib
+    nat._lib, nat._tried = None, True
+    try:
+        t0 = time.time()
+        _file_count_curves(score, timestamps, gts, 0.5, 0.5)
+        numpy_t = time.time() - t0
+    finally:
+        nat._lib, nat._tried = lib, True
+    assert native_t < numpy_t

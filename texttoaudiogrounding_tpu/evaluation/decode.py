@@ -149,6 +149,7 @@ def decode_multi_threshold(
     window_size: int,
     connect_n: int = 1,
     time_resolution: float = 1.0,
+    use_native: bool = True,
 ) -> list[np.ndarray]:
     """Decode one score track at many thresholds in a single vectorized pass.
 
@@ -158,9 +159,17 @@ def decode_multi_threshold(
     Equivalent to the reference per-threshold loop
     (run_strong.py:234-252): binarize(>th) → median filter (per row) →
     connect clusters (gap ≤ connect_n) → contiguous regions → × resolution.
+    Uses the native C++ kernel when available (bit-identical).
     """
     scores = np.asarray(scores, dtype=np.float32)
     thresholds = np.asarray(thresholds, dtype=np.float32)
+    if use_native:
+        from texttoaudiogrounding_tpu.native import \
+            decode_multi_threshold_native
+        result = decode_multi_threshold_native(
+            scores, thresholds, window_size, connect_n, time_resolution)
+        if result is not None:
+            return result
     binary = (scores[None, :] > thresholds[:, None]).astype(np.int8)
     filtered = scipy.ndimage.median_filter(binary, size=(1, window_size))
     out = []

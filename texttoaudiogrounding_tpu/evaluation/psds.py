@@ -261,6 +261,12 @@ def _file_count_curves(score: np.ndarray, timestamps: np.ndarray,
     """
     from texttoaudiogrounding_tpu.evaluation.decode import \
         find_contiguous_regions
+    from texttoaudiogrounding_tpu.native import file_count_curves_native
+
+    native = file_count_curves_native(score, timestamps, gt_events,
+                                      dtc, gtc)
+    if native is not None:
+        return native
 
     uniques = np.unique(score)[::-1]  # descending
     gts = np.array([[on, off] for on, off in gt_events]) \

@@ -75,13 +75,13 @@ class Cnn8Rnn(nn.Module):
 
         x = x[..., None].astype(self.dtype)  # NHWC: [B, T, M, 1]
         drop = lambda a: nn.Dropout(0.2, deterministic=not train)(a)
-        x = drop(ConvBlock(64, name="conv_block1")(
+        x = drop(ConvBlock(64, dtype=self.dtype, name="conv_block1")(
             x, bn_train=bn_train, pool_size=(2, 2)))
-        x = drop(ConvBlock(128, name="conv_block2")(
+        x = drop(ConvBlock(128, dtype=self.dtype, name="conv_block2")(
             x, bn_train=bn_train, pool_size=(2, 2)))
-        x = drop(ConvBlock(256, name="conv_block3")(
+        x = drop(ConvBlock(256, dtype=self.dtype, name="conv_block3")(
             x, bn_train=bn_train, pool_size=(1, 2)))
-        x = drop(ConvBlock(512, name="conv_block4")(
+        x = drop(ConvBlock(512, dtype=self.dtype, name="conv_block4")(
             x, bn_train=bn_train, pool_size=(1, 2)))
 
         x = jnp.mean(x, axis=2)  # mean over mel → [B, T/4, 512]

@@ -26,17 +26,21 @@ class ConvBlock(nn.Module):
     """
 
     out_channels: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, bn_train: bool,
                  pool_size: Sequence[int] = (2, 2),
                  pool_type: str = "avg+max") -> jax.Array:
+        # dtype threads through BN too: mixed f32 BN between bf16 convs
+        # forces dtype converts that cost more than the bf16 win
         for name in ("conv1", "conv2"):
             x = nn.Conv(self.out_channels, (3, 3), use_bias=False,
                         padding="SAME", kernel_init=xavier_uniform,
-                        name=name)(x)
+                        dtype=self.dtype, name=name)(x)
             x = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9,
-                             epsilon=1e-5, name=name.replace("conv", "bn"))(x)
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=name.replace("conv", "bn"))(x)
             x = nn.relu(x)
         window = (1, *pool_size, 1)
         if pool_type == "max":
