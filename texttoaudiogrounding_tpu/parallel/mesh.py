@@ -65,6 +65,28 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     return out
 
 
+def global_batch_from_local(batch: dict, mesh: Mesh,
+                            axis: str = "data") -> dict:
+    """Multi-host input feeding: assemble a global batch from this
+    process's local shard (``jax.make_array_from_process_local_data``).
+
+    Single-process meshes fall back to :func:`shard_batch`.  Each process
+    must pass its slice of the global batch (DataLoader
+    ``shard_index=jax.process_index(), num_shards=jax.process_count()``).
+    """
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh, axis)
+    sharding = batch_sharding(mesh, axis)
+    out = {}
+    for key, value in batch.items():
+        if isinstance(value, np.ndarray) and value.ndim > 0:
+            out[key] = jax.make_array_from_process_local_data(
+                sharding, value)
+        else:
+            out[key] = value
+    return out
+
+
 def pad_batch_to_multiple(batch: dict, multiple: int) -> tuple[dict, int]:
     """Pad the batch dim so it divides the mesh (last partial batches).
 

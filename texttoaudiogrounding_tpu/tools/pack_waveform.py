@@ -95,6 +95,50 @@ def prepare_duration(waveform_csv: str, output: str,
     print(f"wrote {len(rows)} durations to {output}")
 
 
+def write_audio(waveform_csv: str, out_dir: str, audio_ids=None,
+                sample_rate: int = 32000) -> None:
+    """Export packed waveforms back to WAV files (reference
+    utils/data/write_audio.py)."""
+    from scipy.io import wavfile
+    df = pd.read_csv(waveform_csv, sep="\t")
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    cache: dict = {}
+    wanted = set(audio_ids) if audio_ids else None
+    n = 0
+    for _, row in df.iterrows():
+        if wanted is not None and row["audio_id"] not in wanted:
+            continue
+        if row["hdf5_path"] not in cache:
+            cache[row["hdf5_path"]] = h5py.File(row["hdf5_path"], "r")
+        wav = cache[row["hdf5_path"]][row["audio_id"]][()]
+        data = (np.asarray(wav, np.float32).clip(-1, 1)
+                * 32767).astype(np.int16)
+        name = str(row["audio_id"])
+        if not name.endswith(".wav"):
+            name += ".wav"
+        wavfile.write(out / name, sample_rate, data)
+        n += 1
+    for hf in cache.values():
+        hf.close()
+    print(f"wrote {n} wav files to {out_dir}")
+
+
+def link_audio(wav_csv: str, out_dir: str) -> None:
+    """Symlink audio files into one directory by audio_id (reference
+    utils/data/link_audio.py)."""
+    import os
+    df = pd.read_csv(wav_csv, sep="\t")
+    fname_col = "file_name" if "file_name" in df else "file_path"
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for _, row in df.iterrows():
+        dst = out / str(row["audio_id"])
+        if not dst.exists():
+            os.symlink(row[fname_col], dst)
+    print(f"linked {len(df)} files into {out_dir}")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -111,6 +155,13 @@ def main():
     p.add_argument("waveform_csv")
     p.add_argument("output")
     p.add_argument("--sample_rate", type=int, default=32000)
+    p = sub.add_parser("write_audio")
+    p.add_argument("waveform_csv")
+    p.add_argument("out_dir")
+    p.add_argument("--sample_rate", type=int, default=32000)
+    p = sub.add_parser("link_audio")
+    p.add_argument("wav_csv")
+    p.add_argument("out_dir")
     args = ap.parse_args()
     if args.cmd == "pack":
         pack_waveform(args.wav_csv, args.output, args.sample_rate,
@@ -119,6 +170,11 @@ def main():
         prepare_wav_csv(args.wav_dir, args.output)
     elif args.cmd == "duration":
         prepare_duration(args.waveform_csv, args.output, args.sample_rate)
+    elif args.cmd == "write_audio":
+        write_audio(args.waveform_csv, args.out_dir,
+                    sample_rate=args.sample_rate)
+    elif args.cmd == "link_audio":
+        link_audio(args.wav_csv, args.out_dir)
 
 
 if __name__ == "__main__":
