@@ -39,12 +39,20 @@ def get_registry() -> dict[str, Callable]:
 
 
 def resolve(name: str) -> Callable:
-    """Short registry name, or dotted ``module.Class`` import path."""
+    """Short registry name, dotted import path, or a reference-style
+    dotted name whose last component is registered (so the reference's
+    YAML configs — e.g. ``models.audio_encoder.Cnn8_Rnn`` — resolve to
+    our equivalents verbatim)."""
     if name in _REGISTRY:
         return _REGISTRY[name]
     if "." in name:
         module, cls = name.rsplit(".", 1)
-        return getattr(importlib.import_module(module), cls)
+        try:
+            return getattr(importlib.import_module(module), cls)
+        except (ImportError, AttributeError):
+            if cls in _REGISTRY:
+                return _REGISTRY[cls]
+            raise
     raise KeyError(
         f"'{name}' not registered; known: {sorted(_REGISTRY)[:40]}...")
 
