@@ -86,22 +86,92 @@ def lp_pool_2d(x: jax.Array, norm_type: float,
     return jnp.power(summed, 1.0 / p)
 
 
+class _GruParam(nn.Module):
+    """One GRU gate's weights, named like flax GRUCell's Dense children
+    (``<name>/kernel`` [+ ``/bias``]) so checkpoints are interchangeable."""
+
+    shape: tuple
+    use_bias: bool
+    recurrent: bool = False
+
+    @nn.compact
+    def __call__(self):
+        init = (nn.initializers.orthogonal() if self.recurrent
+                else nn.initializers.lecun_normal())
+        kernel = self.param("kernel", init, self.shape)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.shape[1],)) if self.use_bias else None
+        return kernel, bias
+
+
+class GRUSeq(nn.Module):
+    """One GRU direction over a full sequence, input projections hoisted.
+
+    Same recurrence as flax ``GRUCell`` / torch ``nn.GRU`` (r/z/n gates,
+    ``h' = (1-z)n + zh``), but the input-side projections for ALL steps are
+    one big MXU matmul outside the ``lax.scan`` — the scan body only does
+    the [B, H] x [H, 3H] recurrent matmuls.  Parameter tree matches
+    ``nn.RNN(nn.GRUCell)`` (``ir/iz/in/hr/hz/hn``), so the torch importer
+    and existing checkpoints work unchanged.
+    """
+
+    hidden: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = self.hidden
+        in_dim = x.shape[-1]
+        ir_k, ir_b = _GruParam((in_dim, h), True, name="ir")()
+        iz_k, iz_b = _GruParam((in_dim, h), True, name="iz")()
+        in_k, in_b = _GruParam((in_dim, h), True, name="in")()
+        hr_k, _ = _GruParam((h, h), False, recurrent=True, name="hr")()
+        hz_k, _ = _GruParam((h, h), False, recurrent=True, name="hz")()
+        hn_k, hn_b = _GruParam((h, h), True, recurrent=True, name="hn")()
+
+        # hoisted input projections: [B, T, in] @ [in, 3H] in one matmul
+        wi = jnp.concatenate([ir_k, iz_k, in_k], axis=1)
+        bi = jnp.concatenate([ir_b, iz_b, in_b])
+        proj = jnp.einsum("btd,dh->bth", x, wi,
+                          preferred_element_type=jnp.float32) + bi
+        wh_rz = jnp.concatenate([hr_k, hz_k], axis=1)        # [H, 2H]
+
+        if self.reverse:
+            proj = jnp.flip(proj, axis=1)
+
+        def step(hid, p):
+            rz = jnp.dot(hid, wh_rz, preferred_element_type=jnp.float32)
+            r = jax.nn.sigmoid(p[:, :h] + rz[:, :h])
+            z = jax.nn.sigmoid(p[:, h:2 * h] + rz[:, h:])
+            n = jnp.tanh(p[:, 2 * h:]
+                         + r * (jnp.dot(hid, hn_k,
+                                        preferred_element_type=jnp.float32)
+                                + hn_b))
+            hid = (1 - z) * n + z * hid
+            return hid, hid
+
+        h0 = jnp.zeros((x.shape[0], h), proj.dtype)
+        _, ys = jax.lax.scan(step, h0, jnp.swapaxes(proj, 0, 1))
+        ys = jnp.swapaxes(ys, 0, 1)
+        if self.reverse:
+            ys = jnp.flip(ys, axis=1)
+        return ys
+
+
 class BiGRU(nn.Module):
     """Bidirectional GRU over padded sequences, outputs concatenated.
 
     Equivalent capability to torch ``nn.GRU(bidirectional=True,
     batch_first=True)`` as used at reference models/audio_encoder.py:141.
-    Lowered by XLA as a fused ``lax.scan``; a Pallas scan-fused variant can
-    be swapped in behind the same interface.
+    Like the reference, runs over the padded sequence without packing.
     """
 
     hidden: int
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        fwd = nn.RNN(nn.GRUCell(self.hidden), name="fwd")(x)
-        bwd = nn.RNN(nn.GRUCell(self.hidden), reverse=True, keep_order=True,
-                     name="bwd")(x)
+        fwd = GRUSeq(self.hidden, name="GRUCell_0")(x)
+        bwd = GRUSeq(self.hidden, reverse=True, name="GRUCell_1")(x)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 
@@ -118,7 +188,7 @@ class GRU(nn.Module):
             if self.bidirectional:
                 x = BiGRU(self.hidden, name=f"layer{i}")(x)
             else:
-                x = nn.RNN(nn.GRUCell(self.hidden), name=f"layer{i}")(x)
+                x = GRUSeq(self.hidden, name=f"layer{i}")(x)
         return x
 
 
