@@ -1,0 +1,96 @@
+"""GroundingPredictor: the public (audio, audio_len, text) → probabilities
+contract (reference models/hf_modeling_grounding.py:338-352)."""
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+
+from tests.synthetic import make_grounding_data, make_vocab
+
+
+@pytest.fixture(scope="module")
+def experiment(tmp_path_factory):
+    """A minimal experiment dir: config.yaml + freshly-initialized ckpt."""
+    root = tmp_path_factory.mktemp("pred")
+    wav_csv, label_json, _ = make_grounding_data(root / "data",
+                                                 num_audio=3, duration=1.0)
+    vocab = make_vocab(label_json, root / "data" / "vocab.pkl")
+    config = {
+        "data": {"train": {
+            "dataset": {"type": "AudioPhraseDataset",
+                        "args": {"waveform": str(wav_csv),
+                                 "label": str(label_json),
+                                 "time_resolution": 0.04}},
+            "collate_fn": {"type": "TextCollate", "args": {
+                "text_key": "phrase", "pad_keys": ["waveform"],
+                "tokenizer": {"type": "DictTokenizer",
+                              "args": {"vocabulary": str(
+                                  root / "data" / "vocab.pkl")}}}},
+        }},
+        "model": {
+            "type": "BiEncoder",
+            "args": {"shared_dim": 32, "add_proj": True},
+            "audio_encoder": {"type": "Cnn8Rnn",
+                              "args": {"sample_rate": 32000}},
+            "text_encoder": {"type": "EmbeddingAgg",
+                             "args": {"vocab_size": len(vocab),
+                                      "embed_dim": 32}},
+            "match_fn": {"type": "DotProduct", "args": {}},
+        },
+    }
+    exp_dir = root / "exp"
+    exp_dir.mkdir()
+    with open(exp_dir / "config.yaml", "w") as f:
+        yaml.safe_dump(config, f)
+
+    from texttoaudiogrounding_tpu.training.train_state import (
+        TrainState,
+        save_checkpoint,
+    )
+    from texttoaudiogrounding_tpu.utils.registry import instantiate
+    model = instantiate(config["model"])
+    batch = {"waveform": np.zeros((1, 32000), np.float32),
+             "waveform_len": np.array([32000]),
+             "text": np.zeros((1, 4), np.int32),
+             "text_len": np.array([4])}
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=None, step=0)
+    save_checkpoint(exp_dir / "best", state, 1, {}, 0,
+                    include_optim=False)
+    return exp_dir
+
+
+def test_predict_contract(experiment, rng):
+    from texttoaudiogrounding_tpu.inference import GroundingPredictor
+
+    predictor = GroundingPredictor.from_experiment(str(experiment))
+    audio = rng.normal(size=(2, 40000)).astype(np.float32) * 0.1
+    lens = np.array([40000, 20000])
+    probs = predictor.predict(audio, lens, ["dog barking", "a man"])
+    # 40000 samples → 125 frame frames; 20000 → 62 valid, padded zeroed
+    assert probs.shape[0] == 2
+    valid0 = (40000 // 320 + 1) // 4
+    valid1 = (20000 // 320 + 1) // 4
+    assert (probs[0, :valid0] > 0).all()
+    assert (probs[1, valid1:] == 0).all()
+    assert (probs <= 1.0).all()
+
+    # single clip + decode to segments
+    segments = predictor.ground(audio[:1], [40000], ["dog barking"],
+                                threshold=0.0)
+    assert segments[0][0][0] == 0.0  # threshold 0 → everything active
+
+
+def test_predict_shape_bucketing(experiment, rng):
+    """Different audio lengths within one bucket must not retrace."""
+    from texttoaudiogrounding_tpu.inference import GroundingPredictor
+
+    predictor = GroundingPredictor.from_experiment(str(experiment))
+    for n in (31000, 31500, 32000):
+        audio = rng.normal(size=(1, n)).astype(np.float32)
+        probs = predictor.predict(audio, [n], ["dog barking"])
+        assert np.isfinite(probs).all()

@@ -66,12 +66,49 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*",
                         help="key.path=value config overrides")
     args = parser.parse_args(argv)
+    # a key=value token in the command slot is an override, not a command
+    if args.command and "=" in args.command:
+        args.overrides = [args.command] + args.overrides
+        args.command = None
 
     if args.runner == "inference":
         from texttoaudiogrounding_tpu.inference import run_inference
         return run_inference(experiment_path=args.experiment_path,
                              audio=args.audio, phrase=args.phrase,
                              output=args.output)
+
+    if args.runner == "evaluate_desed":
+        # zero-shot SED (reference python_scripts/evaluation/
+        # evaluate_on_desed.py); overrides: wav=... gt=... duration=...
+        from texttoaudiogrounding_tpu.evaluation.desed import \
+            run_desed_evaluation
+        from texttoaudiogrounding_tpu.utils.config import parse_overrides
+        kw = parse_overrides(args.overrides)
+        return run_desed_evaluation(
+            args.experiment_path, kw["wav"], kw["gt"], kw["duration"],
+            time_resolution=kw.get("time_resolution", 0.04))
+
+    if args.runner == "evaluate_sed_eval":
+        # event/segment-based F1 over prediction/ground-truth TSVs
+        # (reference python_scripts/evaluation/evaluate_sed_eval.py)
+        import pandas as pd
+
+        from texttoaudiogrounding_tpu.evaluation.sed_metrics import \
+            compute_sed_eval
+        from texttoaudiogrounding_tpu.utils.config import parse_overrides
+        kw = parse_overrides(args.overrides)
+        ref = pd.read_csv(kw["reference"], sep="\t")
+        est = pd.read_csv(kw["prediction"], sep="\t")
+        event, segment = compute_sed_eval(
+            ref, est, t_collar=kw.get("t_collar", 0.2),
+            time_resolution=kw.get("time_resolution", 1.0))
+        print(f"event-based F1 (micro): "
+              f"{event['overall']['f_measure']:.4f}  "
+              f"(macro): {event['class_wise_average']['f_measure']:.4f}")
+        print(f"segment-based F1 (micro): "
+              f"{segment['overall']['f_measure']:.4f}  "
+              f"(macro): {segment['class_wise_average']['f_measure']:.4f}")
+        return event, segment
 
     runner = _runner(args.runner)
     command = args.command or "train"
