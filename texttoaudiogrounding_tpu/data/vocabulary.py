@@ -76,3 +76,20 @@ def build_vocab_from_files(label_files: list[str],
         with open(label) as f:
             data.extend(json.load(f))
     return build_vocab(data, output)
+
+
+def main():
+    """CLI mirroring reference utils/build_vocab.py:58-68."""
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="Build a vocabulary pickle from label JSONs")
+    ap.add_argument("labels", nargs="+")
+    ap.add_argument("output")
+    args = ap.parse_args()
+    vocab = build_vocab_from_files(args.labels, args.output)
+    print(f"Total vocabulary size: {len(vocab)}")
+    print(f"Saved vocab to '{args.output}'")
+
+
+if __name__ == "__main__":
+    main()

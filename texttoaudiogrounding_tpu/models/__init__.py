@@ -10,6 +10,7 @@ import texttoaudiogrounding_tpu.models.align_models  # noqa: F401
 import texttoaudiogrounding_tpu.models.pretrained_text  # noqa: F401
 import texttoaudiogrounding_tpu.models.retrieval  # noqa: F401
 import texttoaudiogrounding_tpu.models.retrieval_towers  # noqa: F401
+import texttoaudiogrounding_tpu.models.hf_api  # noqa: F401
 
 from texttoaudiogrounding_tpu.models.audio_encoder import Cnn8Rnn, CrnnEncoder
 from texttoaudiogrounding_tpu.models.audio_text_model import (
