@@ -10,13 +10,13 @@ from th_auc).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+
+from typing import Dict
 
 import numpy as np
 import pandas as pd
 
 from texttoaudiogrounding_tpu.evaluation.psds import staircase_auc
-from texttoaudiogrounding_tpu.evaluation.sed_metrics import _match_events
 from texttoaudiogrounding_tpu.evaluation.th_auc import (
     GroundingPrecisionRecall,
 )

@@ -11,7 +11,6 @@ double-threshold (0.75/0.25) decoding.
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Optional
 
 import numpy as np

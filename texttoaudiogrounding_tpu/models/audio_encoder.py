@@ -10,7 +10,6 @@ it is reproduced exactly.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from texttoaudiogrounding_tpu.models.layers import (

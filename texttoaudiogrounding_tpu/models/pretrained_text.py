@@ -12,7 +12,6 @@ environment: files must already be on disk).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import flax.linen as nn
 import jax

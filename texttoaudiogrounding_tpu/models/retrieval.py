@@ -13,7 +13,6 @@ are interchangeable embedding producers and can be added behind the same
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

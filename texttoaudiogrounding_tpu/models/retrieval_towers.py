@@ -8,12 +8,9 @@ reference performs timm surgery; timm is not in this image).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from texttoaudiogrounding_tpu.models.layers import (
     ConvBlock,

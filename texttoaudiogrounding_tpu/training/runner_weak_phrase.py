@@ -20,7 +20,6 @@ from texttoaudiogrounding_tpu.parallel.mesh import batch_sharding, replicate
 from texttoaudiogrounding_tpu.training.runner_base import array_batch
 from texttoaudiogrounding_tpu.training.runner_strong import StrongRunner
 from texttoaudiogrounding_tpu.training.train_state import TrainState
-from texttoaudiogrounding_tpu.utils.config import parse_config_or_kwargs
 from texttoaudiogrounding_tpu.utils.registry import instantiate, register
 
 

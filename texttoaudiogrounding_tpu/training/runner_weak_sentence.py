@@ -24,7 +24,6 @@ from texttoaudiogrounding_tpu.parallel.mesh import (
 )
 from texttoaudiogrounding_tpu.training.runner_base import array_batch
 from texttoaudiogrounding_tpu.training.runner_strong import (
-    StrongRunner,
     build_grounding_ground_truth,
 )
 from texttoaudiogrounding_tpu.training.runner_weak_phrase import (

@@ -14,7 +14,7 @@ recurrences are then algebraically identical).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
