@@ -22,11 +22,14 @@ EVENT_FREQS = [400.0, 800.0, 1600.0, 3000.0, 240.0, 5000.0, 1200.0, 2200.0]
 def make_grounding_data(root: Path, num_audio: int = 8,
                         duration: float = 2.0, sample_rate: int = 32000,
                         max_phrases: int = 2, seed: int = 0,
-                        phrases_as_str: bool = False):
+                        phrases_as_str: bool = False,
+                        event_len: tuple = (0.3, 1.2)):
     """Write waveform.h5, waveform.csv, label.json under ``root``.
 
     Each audio contains 1..max_phrases events; each event is a sinusoid
     burst at a phrase-specific frequency over its labeled segments.
+    ``event_len`` bounds the segment duration — short events (relative to
+    the clip) make random scores a weak baseline, which floor tests need.
     Returns (waveform_csv, label_json, duration_csv) paths.
     """
     root = Path(root)
@@ -47,9 +50,11 @@ def make_grounding_data(root: Path, num_audio: int = 8,
             for k, pick in enumerate(picks):
                 word = EVENT_WORDS[pick]
                 freq = EVENT_FREQS[pick]
-                seg_on = float(rng.uniform(0.1, duration * 0.5))
-                seg_off = float(rng.uniform(seg_on + 0.3,
-                                            min(seg_on + 1.2, duration)))
+                seg_on = float(rng.uniform(0.1, duration - event_len[0]
+                                           - 0.05))
+                seg_off = float(rng.uniform(seg_on + event_len[0],
+                                            min(seg_on + event_len[1],
+                                                duration)))
                 t = np.arange(int((seg_off - seg_on) * sample_rate))
                 burst = 0.3 * np.sin(2 * np.pi * freq * t / sample_rate)
                 on_i = int(seg_on * sample_rate)

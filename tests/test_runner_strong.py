@@ -14,7 +14,8 @@ def configs(tmp_path_factory):
     root = tmp_path_factory.mktemp("e2e")
     data_dir = root / "data"
     wav_csv, label_json, dur_csv = make_grounding_data(
-        data_dir, num_audio=12, duration=2.0, seed=3)
+        data_dir, num_audio=12, duration=1.0, seed=3,
+        event_len=(0.15, 0.3))
     vocab_path = data_dir / "vocab.pkl"
     vocab = make_vocab(label_json, vocab_path)
 
@@ -29,7 +30,7 @@ def configs(tmp_path_factory):
                 "type": "TextCollate",
                 "args": {"text_key": "phrase",
                          "pad_keys": ["waveform", "label"],
-                         "pad_buckets": {"waveform": 64000, "label": 51},
+                         "pad_buckets": {"waveform": 32000, "label": 26},
                          "text_bucket": 4,
                          "tokenizer": {"type": "DictTokenizer",
                                        "args": {"vocabulary":
@@ -54,7 +55,7 @@ def configs(tmp_path_factory):
         },
         "loss": {"type": "FrameBceLoss", "args": {}},
         "optimizer": {"type": "Adam", "args": {"lr": 2e-3}},
-        "trainer": {"epochs": 3, "early_stop": 10, "save_interval": 1,
+        "trainer": {"epochs": 15, "early_stop": 15, "save_interval": 10,
                     "max_grad_norm": 1.0,
                     "metric_monitor": {"mode": "min", "name": "loss"}},
     }
@@ -84,7 +85,7 @@ def test_train_eval_end_to_end(configs):
     assert (exp_dir / "best").exists()
     assert (exp_dir / "config.yaml").exists()
     log_text = (exp_dir / "train.log").read_text()
-    assert "epoch: 1" in log_text and "epoch: 3" in log_text
+    assert "epoch: 1" in log_text and "epoch: 15" in log_text
     # loss must decrease over training
     import re
     losses = [float(m) for m in re.findall(r"train_loss: ([\d.e+-]+)",
@@ -97,10 +98,13 @@ def test_train_eval_end_to_end(configs):
     assert (exp_dir / "result.txt").exists()
     assert (exp_dir / "predictions").exists()
 
-    # random floor: trained-model metrics must not be below random
+    # random floor: the trained model must beat random predictions on
+    # PSDS.  (th_auc is not a sound floor on this fixture: uniform random
+    # scores reach high F1 at low thresholds because the synthetic events
+    # cover much of each clip, so only finiteness is pinned for it.)
     rand = StrongRunner().evaluate_random(configs["eval"])
-    assert results["th_auc@0.0-1.0"] >= 0.0
     assert np.isfinite(rand["th_auc@0.0-1.0"])
+    assert results["psds@None"] > rand["psds@None"], (results, rand)
 
 
 def test_debug_command(configs):

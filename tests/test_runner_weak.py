@@ -133,3 +133,48 @@ def test_weak_phrase_selfsup(configs):
     runner = WeakPhraseSelfSupervisionRunner()
     exp_dir = runner.train(cfg)
     assert (exp_dir / "best").exists()
+
+
+def test_trainable_only_checkpoint(configs):
+    """Frozen towers stay out of weak-runner checkpoints (reference
+    run_weak_phrase.py:332-353) and eval/resume reconstruct them."""
+    from texttoaudiogrounding_tpu.training.runner_weak_phrase import \
+        WeakPhraseRunner
+    from texttoaudiogrounding_tpu.training.train_state import load_checkpoint
+
+    cfg = json.loads(json.dumps(dict(configs["train"])))
+    cfg["experiment_path"] = str(configs["root"] / "exp_frozen")
+    cfg["model"]["text_encoder"]["args"]["freeze_embedding"] = True
+    cfg["trainer"]["epochs"] = 2
+
+    runner = WeakPhraseRunner()
+    exp_dir = runner.train(cfg)
+
+    payload, meta = load_checkpoint(exp_dir / "best")
+    assert meta["trainables_only"]
+    flat = {"/".join(map(str, k)): v for k, v in
+            _flatten(payload["params"])}
+    emb_keys = [k for k in flat if "embedding" in k and "text_encoder" in k]
+    assert not emb_keys, f"frozen embedding saved: {emb_keys}"
+    assert any("audio_encoder" in k for k in flat)
+
+    # evaluate reconstructs the frozen tower from a fresh init + merge
+    results = WeakPhraseRunner().evaluate(exp_dir, configs["eval"])
+    assert np.isfinite(list(results.values())).all()
+
+    # full resume continues training from the pruned checkpoint
+    cfg2 = json.loads(json.dumps(cfg))
+    cfg2["experiment_path"] = str(configs["root"] / "exp_frozen_resume")
+    cfg2["resume"] = str(exp_dir / "last")
+    cfg2["trainer"]["epochs"] = 3
+    exp2 = WeakPhraseRunner().train(cfg2)
+    log = (exp2 / "train.log").read_text()
+    assert "resumed from" in log and "epoch: 3" in log
+
+
+def _flatten(tree, prefix=()):
+    if hasattr(tree, "items"):
+        for k, v in tree.items():
+            yield from _flatten(v, prefix + (k,))
+    else:
+        yield prefix, tree

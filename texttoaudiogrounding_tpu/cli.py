@@ -56,7 +56,7 @@ def main(argv=None):
     parser.add_argument("command", nargs="?", default=None,
                         help="train | evaluate | train_evaluate | "
                         "evaluate_psds | evaluate_random | debug | "
-                        "calc_params")
+                        "calc_params | calc_params_macs")
     parser.add_argument("--config", default=None)
     parser.add_argument("--eval_config", default=None)
     parser.add_argument("--experiment_path", default=None)
@@ -129,8 +129,8 @@ def main(argv=None):
         return runner.evaluate_random(args.eval_config, args.overrides)
     if command == "debug":
         return runner.debug(args.config, args.overrides)
-    if command == "calc_params":
-        return runner.calc_params(args.config, args.overrides)
+    if command in ("calc_params", "calc_params_macs"):
+        return getattr(runner, command)(args.config, args.overrides)
     raise SystemExit(f"unknown command '{command}'")
 
 

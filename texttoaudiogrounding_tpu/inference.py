@@ -55,8 +55,29 @@ class GroundingPredictor:
         exp_dir = Path(experiment_path)
         config = parse_config_or_kwargs(exp_dir / "config.yaml")
         model = instantiate(config["model"])
-        payload, _ = load_checkpoint(exp_dir / which)
-        variables = {"params": payload["params"]}
+        payload, meta = load_checkpoint(exp_dir / which)
+        params = payload["params"]
+        if meta.get("trainables_only"):
+            # merge the trainable subset over a fresh init (reference
+            # load_pretrained_base merge semantics)
+            import jax
+
+            from texttoaudiogrounding_tpu.training.train_state import \
+                merge_matched_params
+            dummy = {
+                "waveform": np.zeros((1, 32000), np.float32),
+                "waveform_len": np.array([32000], np.int32),
+                "text": np.zeros((1, 4), np.int32),
+                "text_len": np.array([4], np.int32),
+            }
+            if hasattr(model, "text_forward_keys"):
+                dummy["text"] = dummy["text"][:, None]
+                dummy["text_len"] = dummy["text_len"][:, None]
+            init_vars = model.init({"params": jax.random.PRNGKey(0)},
+                                   dummy, train=False)
+            params = merge_matched_params(init_vars["params"], params,
+                                          log_fn=lambda *_: None)
+        variables = {"params": params}
         if payload.get("batch_stats"):
             variables["batch_stats"] = payload["batch_stats"]
         tokenizer = instantiate(
@@ -67,9 +88,14 @@ class GroundingPredictor:
         return cls(model, variables, tokenizer, time_resolution=time_res)
 
     def predict(self, audio: np.ndarray, audio_len: np.ndarray,
-                text: List[str]) -> np.ndarray:
+                text: List[str],
+                return_length: bool = False) -> np.ndarray:
         """``audio [B, N]``, ``audio_len [B]``, ``text`` (B strings) →
-        frame probabilities ``[B, T]`` (padded frames zeroed)."""
+        frame probabilities ``[B, T]`` (padded frames zeroed).
+
+        ``return_length=True`` additionally returns the model's exact
+        per-clip valid frame counts ``[B]`` (the reference length
+        arithmetic, models/hf_modeling_grounding.py:170-178)."""
         audio = np.atleast_2d(np.asarray(audio, np.float32))
         audio_len = np.asarray(audio_len, np.int32).reshape(-1)
         pad_n = round_up(audio.shape[1], self.audio_bucket)
@@ -95,16 +121,20 @@ class GroundingPredictor:
             frame_sim = frame_sim[..., 0]
         lengths = np.asarray(out["length"])
         mask = np.arange(frame_sim.shape[1])[None] < lengths[:, None]
-        return frame_sim * mask
+        masked = frame_sim * mask
+        if return_length:
+            return masked, lengths
+        return masked
 
     def ground(self, audio: np.ndarray, audio_len, text: List[str],
                threshold: float = 0.5, window_size: int = 1
                ) -> list[list[tuple[float, float]]]:
         """Decode per-clip (onset, offset) second segments."""
-        probs = self.predict(audio, audio_len, text)
+        probs, lengths = self.predict(audio, audio_len, text,
+                                      return_length=True)
         results = []
-        for prob in probs:
-            n = int(np.count_nonzero(prob > 0)) or prob.shape[0]
+        for prob, n in zip(probs, lengths):
+            n = max(int(n), 1)
             filtered = median_filter(prob[None, :n], window_size=window_size,
                                      threshold=threshold)[0]
             segs = find_contiguous_regions(filtered) * self.time_resolution
@@ -124,11 +154,9 @@ def run_inference(experiment_path: str, audio: str, phrase: str,
                                                    which=which)
     waveform = load_wav(audio, sample_rate)
     duration = waveform.shape[0] / sample_rate
-    probs = predictor.predict(waveform[None], [waveform.shape[0]], [phrase])
-    n_frames = int(np.asarray([waveform.shape[0]])[0]
-                   // (sample_rate * predictor.time_resolution)) + 1
-    prob = probs[0]
-    prob = prob[:max((prob > 0).sum(), 1)]
+    probs, lengths = predictor.predict(waveform[None], [waveform.shape[0]],
+                                       [phrase], return_length=True)
+    prob = probs[0][:max(int(lengths[0]), 1)]
 
     filtered = median_filter(prob[None, :], window_size=1,
                              threshold=threshold)[0]

@@ -58,7 +58,9 @@ class Cnn8Rnn(nn.Module):
     def __call__(self, input_dict: dict, *, train: bool = False) -> dict:
         waveform = input_dict["waveform"]
         cfg = cnn8rnn_mel_config(self.sample_rate)
-        x = log_mel_spectrogram(waveform, cfg)  # [B, T, 64]
+        # bf16 serving routes to the fused Pallas frontend on TPU
+        x = log_mel_spectrogram(waveform, cfg,
+                                compute_dtype=self.dtype)  # [B, T, 64]
 
         bn_train = train and not self.freeze_bn
         # bn0: BatchNorm over the mel axis (stats per mel bin)
@@ -119,7 +121,8 @@ class CrnnEncoder(nn.Module):
     def __call__(self, input_dict: dict, *, train: bool = False) -> dict:
         waveform = input_dict["waveform"]
         cfg = cdur_mel_config(self.sample_rate)
-        x = log_mel_spectrogram(waveform, cfg)  # [B, T, 64]
+        x = log_mel_spectrogram(waveform, cfg,
+                                compute_dtype=self.dtype)  # [B, T, 64]
         x = x[..., None].astype(self.dtype)     # [B, T, M, 1]
 
         x = CDurBlock(32)(x, bn_train=train)

@@ -202,7 +202,9 @@ def power_spectrogram(waveform: jax.Array, cfg: LogMelConfig,
 
 def log_mel_spectrogram(waveform: jax.Array, cfg: LogMelConfig,
                         use_fft: bool = False,
-                        use_pallas: str | bool = "auto") -> jax.Array:
+                        use_pallas: str | bool = "auto",
+                        compute_dtype: jnp.dtype = jnp.float32
+                        ) -> jax.Array:
     """``[B, N] -> [B, T, n_mels]`` log-mel (dB) spectrogram.
 
     Equivalent to torchaudio ``MelSpectrogram`` + ``AmplitudeToDB`` as used
@@ -210,16 +212,21 @@ def log_mel_spectrogram(waveform: jax.Array, cfg: LogMelConfig,
     (the reference transposes to that layout immediately anyway,
     models/audio_encoder.py:185).
 
-    ``use_pallas="auto"`` routes to the fused Pallas kernel on TPU
-    (framing + DFT + power + mel + dB in one kernel, no HBM spectrum
-    round-trip); the pure-XLA path below is the fallback and reference.
+    ``use_pallas="auto"`` routes to the fused Pallas kernel
+    (framing outside + DFT/power/mel/dB in one kernel, no HBM spectrum
+    round-trip) on TPU when ``compute_dtype`` is bfloat16 — the serving
+    configuration, where the kernel's bf16 DFT dot matches the precision
+    the rest of the model runs at (~0.03 dB vs the f32 path).  The
+    pure-XLA path below is the fallback and the numerical reference.
+    ``TTG_PALLAS_FRONTEND=0/1`` force-overrides the routing.
     """
     if use_pallas == "auto":
-        # the fused kernel wins standalone but acts as a fusion barrier
-        # inside the full model graph — opt in via env until the kernel
-        # also covers the bn0 stage
         import os
-        use_pallas = os.environ.get("TTG_PALLAS_FRONTEND", "0") == "1"
+        env = os.environ.get("TTG_PALLAS_FRONTEND")
+        if env is not None:
+            use_pallas = env == "1"
+        else:
+            use_pallas = compute_dtype == jnp.bfloat16
     if use_pallas and not use_fft and cfg.top_db is None:
         from texttoaudiogrounding_tpu.ops.pallas.logmel import (
             fused_log_mel_spectrogram,

@@ -81,10 +81,16 @@ def array_batch(batch: dict) -> dict:
 class BaseRunner:
     """Config-driven training/evaluation driver."""
 
+    #: save only trainable params (+ batch_stats) in checkpoints when the
+    #: model freezes something — the reference's weak runner does this
+    #: (run_weak_phrase.py:332-353) while run_strong saves the full model
+    save_trainable_only = False
+
     def __init__(self):
         self.config: dict = {}
         self.mesh = None
         self.logger = log
+        self._freeze_mask = None
 
     # ------------------------------------------------------------- builders
     def build_dataloader(self, cfg: dict, shuffle: bool):
@@ -118,10 +124,26 @@ class BaseRunner:
             params=params, model=model,
             max_grad_norm=trainer.get("max_grad_norm"))
         opt_state = self.tx.init(params)
+        from texttoaudiogrounding_tpu.training.optim import \
+            freeze_mask_from_model
+        self._freeze_mask = freeze_mask_from_model(model, params)
         return TrainState(params=params, batch_stats=batch_stats,
                           opt_state=opt_state, step=0)
 
+    def _ckpt_mask(self):
+        """Freeze mask for checkpoint pruning, or None for full saves."""
+        save_trainable = self.config.get("trainer", {}).get(
+            "save_trainable_only", self.save_trainable_only)
+        return self._freeze_mask if save_trainable else None
+
     # ---------------------------------------------------------------- steps
+    def post_grad_hook(self, loss, grads):
+        """Hook between grad computation and the optimizer update.
+
+        Default: identity.  The weak runners override this with the
+        NaN-loss guard (reference run_weak_phrase.py:88-93)."""
+        return grads
+
     def make_train_step(self, model, loss_fn,
                         output_transform: Callable,
                         loss_rng: bool = False):
@@ -161,6 +183,7 @@ class BaseRunner:
 
             (loss, mutated), grads = jax.value_and_grad(
                 wrapped, has_aux=True)(state.params)
+            grads = self.post_grad_hook(loss, grads)
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
             params = optax.apply_updates(state.params, updates)
@@ -170,7 +193,14 @@ class BaseRunner:
                 opt_state=opt_state, step=state.step + 1)
             return new_state, loss
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        # state/rng replicated; the batch keeps the sharding shard_batch
+        # gave it (P("data") for divisible leaves, replicated for ragged
+        # ones), so it is left unconstrained here.  GSPMD inserts the
+        # gradient all-reduce over the data axis.
+        del data
+        return jax.jit(train_step, donate_argnums=(0,),
+                       in_shardings=(rep, None, rep),
+                       out_shardings=(rep, rep))
 
     def make_val_step(self, model, loss_fn, output_transform: Callable):
         mesh = self.mesh
@@ -185,7 +215,9 @@ class BaseRunner:
             output = output_transform(output, batch)
             return loss_fn(output)
 
-        return jax.jit(val_step)
+        del data
+        return jax.jit(val_step, in_shardings=(rep, None),
+                       out_shardings=rep)
 
     def make_forward(self, model):
         mesh = self.mesh
@@ -198,7 +230,8 @@ class BaseRunner:
                 variables["batch_stats"] = state.batch_stats
             return model.apply(variables, batch, train=False)
 
-        return jax.jit(forward)
+        del data
+        return jax.jit(forward, in_shardings=(rep, None))
 
     # ------------------------------------------------------------ main loop
     def setup(self, config, overrides=None, **kwargs):
@@ -343,31 +376,54 @@ class BaseRunner:
                 f"val_loss: {val_loss:.4g}  lr: {lr:.2g}  "
                 f"({time.time() - t0:.1f}s, {throughput})")
 
+            ckpt_mask = self._ckpt_mask()
             if metric_improver(val_loss):
                 not_improve_cnt = 0
                 save_checkpoint(exp_dir / "best", state, epoch,
                                 metric_improver.state_dict(),
-                                not_improve_cnt, include_optim)
+                                not_improve_cnt, include_optim,
+                                trainable_mask=ckpt_mask)
             else:
                 not_improve_cnt += 1
             if epoch % save_interval == 0:
                 save_checkpoint(exp_dir / "last", state, epoch,
                                 metric_improver.state_dict(),
-                                not_improve_cnt, include_optim)
+                                not_improve_cnt, include_optim,
+                                trainable_mask=ckpt_mask)
             if not_improve_cnt == early_stop:
                 break
         save_checkpoint(exp_dir / "last", state, epoch,
                         metric_improver.state_dict(), not_improve_cnt,
-                        include_optim)
+                        include_optim, trainable_mask=self._ckpt_mask())
         return state
 
     def restore_state(self, model, exp_dir: Path, sample_batch: dict,
                       which: str = "best") -> TrainState:
         """Weights-only restore for evaluation/finetune (reference
-        resume_checkpoint(finetune=True), run_strong.py:693-709)."""
-        payload, _meta = load_checkpoint(exp_dir / which)
-        return TrainState(params=payload["params"],
-                          batch_stats=payload.get("batch_stats", {}),
+        resume_checkpoint(finetune=True), run_strong.py:693-709).
+
+        Trainable-only checkpoints are merged over a fresh model init
+        (the frozen towers come from the model's own pretrained loading,
+        as in the reference's ``load_pretrained_base`` merge)."""
+        payload, meta = load_checkpoint(exp_dir / which)
+        params = payload["params"]
+        batch_stats = payload.get("batch_stats", {})
+        if meta.get("trainables_only"):
+            from texttoaudiogrounding_tpu.training.train_state import \
+                merge_matched_params
+            rng = jax.random.PRNGKey(self.config.get("seed", 1))
+            init_batch = array_batch(sample_batch)
+            # MultiText models expect a phrase axis (same unsqueeze as
+            # eval_inference; reference run_weak_phrase.py:48-50)
+            for key in getattr(model, "text_forward_keys", ()):
+                if key in init_batch and init_batch[key].ndim in (1, 2):
+                    init_batch[key] = init_batch[key][:, None]
+            variables = model.init({"params": rng}, init_batch, train=False)
+            params = merge_matched_params(variables["params"], params,
+                                          log_fn=self.logger.info)
+            if not batch_stats:
+                batch_stats = variables.get("batch_stats", {})
+        return TrainState(params=params, batch_stats=batch_stats,
                           opt_state=None, step=0)
 
     def _resume(self, state: TrainState, ckpt_path,
@@ -401,17 +457,35 @@ class BaseRunner:
         if meta_path.exists():
             with open(meta_path) as f:
                 meta = _json.load(f)
+        trainables_only = meta.get("trainables_only", False)
         if finetune:
             # weights only — template-free restore tolerates checkpoints
             # with or without optimizer state
             payload, _ = load_checkpoint(ckpt_path)
         else:
-            template = {"params": state.params,
+            params_template = state.params
+            if trainables_only:
+                from texttoaudiogrounding_tpu.training.train_state import \
+                    prune_tree_by_mask
+                if self._freeze_mask is None:
+                    raise ValueError(
+                        f"{ckpt_path} is a trainable-only checkpoint but "
+                        "the current model freezes nothing — cannot "
+                        "reconstruct the saved tree")
+                params_template = prune_tree_by_mask(state.params,
+                                                     self._freeze_mask)
+            template = {"params": params_template,
                         "batch_stats": state.batch_stats}
             if meta.get("include_optim"):
                 template["opt_state"] = state.opt_state
             payload, _ = load_checkpoint(ckpt_path, template)
-        state = state.replace(params=payload["params"],
+        loaded_params = payload["params"]
+        if trainables_only:
+            from texttoaudiogrounding_tpu.training.train_state import \
+                merge_matched_params
+            loaded_params = merge_matched_params(state.params, loaded_params,
+                                                 log_fn=self.logger.info)
+        state = state.replace(params=loaded_params,
                               batch_stats=payload.get("batch_stats",
                                                       state.batch_stats))
         if not finetune and "opt_state" in payload:

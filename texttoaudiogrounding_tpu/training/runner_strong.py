@@ -459,18 +459,36 @@ class StrongRunner(BaseRunner):
         return state
 
     def calc_params(self, config, overrides=None, **kwargs) -> int:
-        """Parameter count (reference calc_params_macs,
-        run_strong.py:1278-1291; FLOPs via jax cost analysis)."""
+        """Parameter count only (see :meth:`calc_params_macs`)."""
+        return self.calc_params_macs(config, overrides, **kwargs)["params"]
+
+    def calc_params_macs(self, config, overrides=None, **kwargs) -> dict:
+        """Params + MACs/FLOPs on the reference probe input — 10 s @
+        32 kHz audio + 5-token text (reference thop.profile at
+        run_strong.py:1278-1291).  FLOPs come from the compiled forward's
+        XLA cost analysis; MACs = FLOPs / 2 (thop counts multiply-adds)."""
         self.setup(config, overrides, **kwargs)
         model = self.build_model()
         sr = 32000
         batch = {"waveform": np.zeros((1, 10 * sr), np.float32),
-                 "waveform_len": np.array([10 * sr]),
+                 "waveform_len": np.array([10 * sr], np.int32),
                  "text": np.zeros((1, 5), np.int32),
-                 "text_len": np.array([5])}
+                 "text_len": np.array([5], np.int32)}
+        if hasattr(model, "text_forward_keys"):  # MultiText phrase axis
+            batch["text"] = batch["text"][:, None]
+            batch["text_len"] = batch["text_len"][:, None]
         variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
                                train=False)
         n = sum(int(np.prod(x.shape))
                 for x in jax.tree.leaves(variables["params"]))
-        print(f"params: {n}")
-        return n
+
+        def fwd(variables, batch):
+            return model.apply(variables, batch, train=False)["frame_sim"]
+
+        cost = jax.jit(fwd).lower(variables, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0]
+        flops = int(cost.get("flops", 0))
+        result = {"params": n, "flops": flops, "macs": flops // 2}
+        print(f"params: {n}  flops: {flops:.4g}  macs: {flops / 2:.4g}")
+        return result

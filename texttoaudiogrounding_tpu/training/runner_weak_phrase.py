@@ -14,12 +14,9 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
-from texttoaudiogrounding_tpu.parallel.mesh import batch_sharding, replicate
 from texttoaudiogrounding_tpu.training.runner_base import array_batch
 from texttoaudiogrounding_tpu.training.runner_strong import StrongRunner
-from texttoaudiogrounding_tpu.training.train_state import TrainState
 from texttoaudiogrounding_tpu.utils.registry import instantiate, register
 
 
@@ -35,60 +32,16 @@ def weak_output_transform(output: dict, batch: dict) -> dict:
 class WeakPhraseRunner(StrongRunner):
 
     output_transform = staticmethod(weak_output_transform)
+    # reference run_weak_phrase.py:332-353 keeps frozen towers (e.g. the
+    # CLAP text encoder) out of best/last checkpoints
+    save_trainable_only = True
 
-    def make_train_step(self, model, loss_fn, output_transform,
-                        loss_rng: bool = False):
-        """Adds the NaN-loss guard (reference run_weak_phrase.py:88-93):
-        non-finite losses zero the gradients so the step is a no-op."""
-        mesh = self.mesh
-        rep = replicate(mesh)
-        data = batch_sharding(mesh)
-
-        def train_step(state: TrainState, batch: dict, rng):
-            step_rng = jax.random.fold_in(rng, state.step)
-            rngs = {"dropout": step_rng,
-                    "specaug": jax.random.fold_in(step_rng, 1)}
-
-            def wrapped(params):
-                variables = {"params": params}
-                mutable = []
-                if state.batch_stats:
-                    variables["batch_stats"] = state.batch_stats
-                    mutable = ["batch_stats"]
-
-                def apply_model(variables, batch, rngs):
-                    inputs = dict(batch)
-                    inputs.update(getattr(self, "_static_train_inputs",
-                                          {}))
-                    return model.apply(variables, inputs, train=True,
-                                       rngs=rngs, mutable=mutable)
-
-                if self.config.get("trainer", {}).get("remat"):
-                    # rematerialize the forward in the backward pass:
-                    # trades ~1/3 extra FLOPs for activation memory
-                    apply_model = jax.checkpoint(apply_model)
-                result = apply_model(variables, batch, rngs)
-                output, mutated = result if mutable else (result, {})
-                output = output_transform(output, batch)
-                kw = {"rng": jax.random.fold_in(step_rng, 2)} \
-                    if loss_rng else {}
-                return loss_fn(output, **kw), mutated
-
-            (loss, mutated), grads = jax.value_and_grad(
-                wrapped, has_aux=True)(state.params)
-            finite = jnp.isfinite(loss)
-            grads = jax.tree.map(
-                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-            updates, opt_state = self.tx.update(grads, state.opt_state,
-                                                state.params)
-            params = optax.apply_updates(state.params, updates)
-            new_state = TrainState(
-                params=params,
-                batch_stats=mutated.get("batch_stats", state.batch_stats),
-                opt_state=opt_state, step=state.step + 1)
-            return new_state, loss
-
-        return jax.jit(train_step, donate_argnums=(0,))
+    def post_grad_hook(self, loss, grads):
+        """NaN-loss guard (reference run_weak_phrase.py:88-93): non-finite
+        losses zero the gradients so the step is a no-op."""
+        finite = jnp.isfinite(loss)
+        return jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
 
     def train(self, config, overrides=None, **kwargs) -> Path:
         self.setup(config, overrides, **kwargs)
@@ -160,14 +113,22 @@ class WeakPhraseSelfSupervisionRunner(WeakPhraseRunner):
         return model, ckpt
 
     def _load_teacher_variables(self, teacher, ckpt, sample_batch):
-        from texttoaudiogrounding_tpu.training.train_state import \
-            load_checkpoint
+        from texttoaudiogrounding_tpu.training.train_state import (
+            load_checkpoint,
+            merge_matched_params,
+        )
         variables = teacher.init({"params": jax.random.PRNGKey(0)},
                                  array_batch(sample_batch), train=False)
         if ckpt is not None:
-            payload, _ = load_checkpoint(ckpt)
-            variables = {"params": payload["params"],
-                         "batch_stats": payload.get("batch_stats", {})}
+            payload, meta = load_checkpoint(ckpt)
+            params = payload["params"]
+            if meta.get("trainables_only"):
+                params = merge_matched_params(variables["params"], params,
+                                              log_fn=self.logger.info)
+            variables = {"params": params,
+                         "batch_stats": payload.get(
+                             "batch_stats", variables.get("batch_stats",
+                                                          {}))}
         return variables
 
     def train(self, config, overrides=None, **kwargs) -> Path:

@@ -29,14 +29,44 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+def prune_tree_by_mask(tree, mask):
+    """Keep only leaves whose mask entry is True; drop empty subtrees.
+
+    The JAX analog of the reference's trainable-only checkpoint filter
+    (run_weak_phrase.py:332-353, ``requires_grad`` params only): ``mask``
+    is the optimizer freeze mask (True = trainable).  Returns plain nested
+    dicts (orbax-serializable)."""
+    if hasattr(tree, "items"):
+        out = {}
+        for key, value in tree.items():
+            sub = prune_tree_by_mask(value, mask[key])
+            if isinstance(sub, dict):
+                if sub:
+                    out[key] = sub
+            elif sub is not None:
+                out[key] = sub
+        return out
+    return tree if mask else None
+
+
 def save_checkpoint(ckpt_dir: str | Path, state: TrainState, epoch: int,
                     metric_monitor: dict, not_improve_cnt: int,
-                    include_optim: bool = True) -> None:
+                    include_optim: bool = True,
+                    trainable_mask: Optional[dict] = None) -> None:
+    """``trainable_mask`` (True = trainable) switches to trainable-only
+    saving: frozen params are pruned from the checkpoint while batch_stats
+    (the buffer analog) are always kept — reference
+    run_weak_phrase.py:332-353 keeps frozen pretrained towers out of
+    best/last checkpoints."""
     ckpt_dir = Path(ckpt_dir).absolute()
     if ckpt_dir.exists():
         import shutil
         shutil.rmtree(ckpt_dir)
-    payload = {"params": state.params, "batch_stats": state.batch_stats}
+    params = state.params
+    trainables_only = trainable_mask is not None
+    if trainables_only:
+        params = prune_tree_by_mask(params, trainable_mask)
+    payload = {"params": params, "batch_stats": state.batch_stats}
     if include_optim:
         payload["opt_state"] = state.opt_state
     ckpt = _checkpointer()
@@ -44,7 +74,8 @@ def save_checkpoint(ckpt_dir: str | Path, state: TrainState, epoch: int,
     ckpt.wait_until_finished()
     meta = {"epoch": epoch, "metric_monitor": metric_monitor,
             "not_improve_cnt": not_improve_cnt, "step": int(state.step),
-            "include_optim": include_optim}
+            "include_optim": include_optim,
+            "trainables_only": trainables_only}
     with open(ckpt_dir.parent / f"{ckpt_dir.name}.meta.json", "w") as f:
         json.dump(meta, f)
 
