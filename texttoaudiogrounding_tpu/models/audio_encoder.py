@@ -29,6 +29,32 @@ from texttoaudiogrounding_tpu.ops.frontend import (
 from texttoaudiogrounding_tpu.utils.registry import register
 
 
+def _fused_conv_modes(dtype, train: bool):
+    """Per-block fused-kernel routing for the Cnn8Rnn conv trunk.
+
+    ``TTG_FUSED_CONV=int8`` (serving on TPU in bf16 only) routes blocks
+    3-4 through the fused int8 Pallas ConvBlock kernel
+    (ops/pallas/conv_block.py, ~1.6x their bf16 time; dynamic activation
+    quantization, parity delta documented in STATUS.md).
+    ``TTG_FUSED_CONV=bf16`` uses the fused kernel without quantization
+    (measured: parity with XLA's in-graph convs — available for
+    experimentation, not routed by default).  Blocks 1-2 stay on XLA
+    (block1: Cin=1; block2: Cin=64 K-starves the MXU).
+    """
+    import os
+
+    if train or dtype != jnp.bfloat16:
+        return (False, False, False, False)
+    env = os.environ.get("TTG_FUSED_CONV", "0")
+    if env not in ("bf16", "int8"):
+        return (False, False, False, False)
+    from texttoaudiogrounding_tpu.ops.pallas.logmel import pallas_supported
+    if not pallas_supported():
+        return (False, False, False, False)
+    mode = "int8" if env == "int8" else True
+    return (False, False, mode, mode)
+
+
 @register("Cnn8Rnn")
 @register("Cnn8_Rnn")
 class Cnn8Rnn(nn.Module):
@@ -76,14 +102,15 @@ class Cnn8Rnn(nn.Module):
 
         x = x[..., None].astype(self.dtype)  # NHWC: [B, T, M, 1]
         drop = lambda a: nn.Dropout(0.2, deterministic=not train)(a)
+        fused = _fused_conv_modes(self.dtype, train)
         x = drop(ConvBlock(64, dtype=self.dtype, name="conv_block1")(
-            x, bn_train=bn_train, pool_size=(2, 2)))
+            x, bn_train=bn_train, pool_size=(2, 2), fused=fused[0]))
         x = drop(ConvBlock(128, dtype=self.dtype, name="conv_block2")(
-            x, bn_train=bn_train, pool_size=(2, 2)))
+            x, bn_train=bn_train, pool_size=(2, 2), fused=fused[1]))
         x = drop(ConvBlock(256, dtype=self.dtype, name="conv_block3")(
-            x, bn_train=bn_train, pool_size=(1, 2)))
+            x, bn_train=bn_train, pool_size=(1, 2), fused=fused[2]))
         x = drop(ConvBlock(512, dtype=self.dtype, name="conv_block4")(
-            x, bn_train=bn_train, pool_size=(1, 2)))
+            x, bn_train=bn_train, pool_size=(1, 2), fused=fused[3]))
 
         x = jnp.mean(x, axis=2)  # mean over mel → [B, T/4, 512]
         x = nn.Dropout(0.5, deterministic=not train)(x)

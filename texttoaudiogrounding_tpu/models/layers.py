@@ -23,6 +23,11 @@ class ConvBlock(nn.Module):
 
     Reference: models/panns.py:20-62.  ``pool_type='avg+max'`` adds the two
     pooled maps (the Cnn8Rnn default).
+
+    ``fused`` routes the whole block through the fused Pallas kernel
+    (ops/pallas/conv_block.py) with running-stat BN folded into the
+    epilogue — the serving path; ``fused="int8"`` additionally runs the
+    convs on the int8 MXU path with dynamic activation quantization.
     """
 
     out_channels: int
@@ -31,7 +36,31 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, bn_train: bool,
                  pool_size: Sequence[int] = (2, 2),
-                 pool_type: str = "avg+max") -> jax.Array:
+                 pool_type: str = "avg+max",
+                 fused: bool | str = False) -> jax.Array:
+        if (fused and not self.is_initializing() and not bn_train
+                and pool_type == "avg+max"):
+            from texttoaudiogrounding_tpu.ops.pallas.conv_block import (
+                _pick_tc, fold_bn, fused_double_conv_pool)
+            quantize = fused == "int8"
+            try:
+                _pick_tc(x.shape[1], x.shape[2], x.shape[3],
+                         self.out_channels, pool_size[0], pool_size[1],
+                         quantize, self.dtype)
+                ok = True
+            except ValueError:   # e.g. short clips with prime T
+                ok = False
+            if ok:
+                v = self.variables
+                p, bs = v["params"], v["batch_stats"]
+                ab1 = fold_bn(p["bn1"]["scale"], p["bn1"]["bias"],
+                              bs["bn1"]["mean"], bs["bn1"]["var"])
+                ab2 = fold_bn(p["bn2"]["scale"], p["bn2"]["bias"],
+                              bs["bn2"]["mean"], bs["bn2"]["var"])
+                return fused_double_conv_pool(
+                    x, p["conv1"]["kernel"], ab1, p["conv2"]["kernel"],
+                    ab2, tuple(pool_size), quantize=quantize,
+                    compute_dtype=self.dtype)
         # dtype threads through BN too: mixed f32 BN between bf16 convs
         # forces dtype converts that cost more than the bf16 win
         for name in ("conv1", "conv2"):
