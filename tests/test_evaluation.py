@@ -311,3 +311,56 @@ def test_perfect_scores_beat_random_end_to_end(rng):
     assert results["oracle"]["th_auc"] == pytest.approx(0.8)
     assert results["oracle"]["psds"] > results["random"]["psds"] + 0.3
     assert results["oracle"]["th_auc"] > results["random"]["th_auc"] + 0.3
+
+
+def test_exact_multiclass_psd_roc_matches_dense_grid(rng):
+    """DESED-PSDS2-shaped scenario (multi-class, cttc=0.3, alpha_ct=0.5,
+    alpha_st=1): the exact change-point path must agree with the dense
+    grid when the scores are quantized onto the grid (both are then
+    error-free), and the public wrapper must route to it."""
+    import pandas as pd
+
+    from texttoaudiogrounding_tpu.evaluation.psds import (
+        compute_psds_sed_scores,
+        exact_psd_roc,
+    )
+
+    res = 0.1
+    classes = ["dog", "cat", "speech"]
+    # scores quantized to multiples of 0.05 = exact grid points of the
+    # 800-step dense sweep, with min > 0, so both paths evaluate the
+    # identical operating-point set (incl. the all-active one)
+    grid = np.linspace(0.0, 1.0, 21)
+    n_frames = 400  # sparse gt (<10% of the clip) so dtc=0.1 can fail
+    scores, gt, durations = {}, {}, {}
+    for i in range(5):
+        fname = f"f{i}"
+        t = np.arange(n_frames + 1) * res
+        data = {"onset": t[:-1], "offset": t[1:]}
+        gt[fname] = []
+        for k, cls in enumerate(classes):
+            track = grid[rng.integers(1, 10, size=n_frames)]
+            lo = 100 * k + 10 * i
+            track[lo:lo + 8] = grid[rng.integers(12, 21, size=8)]
+            data[cls] = track
+            gt[fname].append((lo * res, (lo + 8) * res, cls))
+        # an extra event of another class to exercise cross-triggers
+        gt[fname].append((0.5, 1.3, classes[(i + 1) % 3]))
+        scores[fname] = pd.DataFrame(data)
+        durations[fname] = n_frames * res
+
+    kw = dict(dtc_threshold=0.1, gtc_threshold=0.1, cttc_threshold=0.3,
+              alpha_ct=0.5, alpha_st=1.0, max_efpr=100.0)
+    exact, _ = exact_psd_roc(scores, gt, durations, **kw)
+
+    dur_df = pd.DataFrame([{"audio_id": k, "duration": v}
+                           for k, v in durations.items()])
+    dense = compute_psds_sed_scores(
+        scores, gt, dur_df, {f: f for f in scores}, exact=False,
+        num_thresholds=800, **kw)
+    assert 0.0 < exact <= 1.0
+    assert exact == pytest.approx(dense, abs=1e-6)
+
+    routed = compute_psds_sed_scores(
+        scores, gt, dur_df, {f: f for f in scores}, **kw)
+    assert routed == pytest.approx(exact)

@@ -177,8 +177,6 @@ class PSDSEvaluator:
         """PSDS value (+ ROC) over accumulated operating points."""
         if not self.operating_points:
             return 0.0, (np.zeros(1), np.zeros(1))
-        # per class: (efpr, tpr) points
-        efpr_all = []
         per_class_points = {}
         for cls in self.class_names:
             pts = []
@@ -186,30 +184,38 @@ class PSDSEvaluator:
                 st = op["per_class"][cls]
                 efpr = st["fpr"] + alpha_ct * st["ctr"]
                 pts.append((efpr, st["tpr"]))
-            pts = np.array(pts)
-            per_class_points[cls] = pts
-            efpr_all.append(pts[:, 0])
-        efpr_axis = np.unique(np.concatenate(efpr_all + [np.zeros(1)]))
-        if max_efpr is None:
-            max_efpr = float(efpr_axis.max()) if efpr_axis.max() > 0 else 1.0
-        efpr_axis = np.r_[efpr_axis[efpr_axis < max_efpr], max_efpr]
+            per_class_points[cls] = np.array(pts)
+        return _psds_from_points(per_class_points, alpha_st, max_efpr)
 
-        # per-class staircase of best operating points
-        tpr_curves = []
-        for cls in self.class_names:
-            pts = per_class_points[cls]
-            order = np.argsort(pts[:, 0], kind="stable")
-            x = pts[order, 0]
-            y = np.maximum.accumulate(pts[order, 1])
-            idx = np.searchsorted(x, efpr_axis, side="right") - 1
-            curve = np.where(idx >= 0, y[np.maximum(idx, 0)], 0.0)
-            tpr_curves.append(curve)
-        tpr_curves = np.stack(tpr_curves)            # [C, X]
-        mu = tpr_curves.mean(axis=0)
-        sigma = tpr_curves.std(axis=0)
-        etpr = np.maximum(mu - alpha_st * sigma, 0.0)
-        auc = staircase_auc(etpr, efpr_axis, max_x=max_efpr)
-        return auc / max_efpr, (etpr, efpr_axis)
+
+def _psds_from_points(per_class_points: Dict[str, np.ndarray],
+                      alpha_st: float, max_efpr: Optional[float]):
+    """PSDS from per-class (eFPR, TPR) operating points.
+
+    Each class's ROC is the running max of TPR over ascending eFPR
+    (independent per-class threshold choice); curves are resampled as
+    right-continuous steps on the union eFPR axis, combined as
+    ``max(mu - alpha_st * sigma, 0)`` and staircase-integrated."""
+    efpr_all = [pts[:, 0] for pts in per_class_points.values()]
+    efpr_axis = np.unique(np.concatenate(efpr_all + [np.zeros(1)]))
+    if max_efpr is None:
+        max_efpr = float(efpr_axis.max()) if efpr_axis.max() > 0 else 1.0
+    efpr_axis = np.r_[efpr_axis[efpr_axis < max_efpr], max_efpr]
+
+    tpr_curves = []
+    for pts in per_class_points.values():
+        order = np.argsort(pts[:, 0], kind="stable")
+        x = pts[order, 0]
+        y = np.maximum.accumulate(pts[order, 1])
+        idx = np.searchsorted(x, efpr_axis, side="right") - 1
+        curve = np.where(idx >= 0, y[np.maximum(idx, 0)], 0.0)
+        tpr_curves.append(curve)
+    tpr_curves = np.stack(tpr_curves)            # [C, X]
+    mu = tpr_curves.mean(axis=0)
+    sigma = tpr_curves.std(axis=0)
+    etpr = np.maximum(mu - alpha_st * sigma, 0.0)
+    auc = staircase_auc(etpr, efpr_axis, max_x=max_efpr)
+    return auc / max_efpr, (etpr, efpr_axis)
 
 
 def compute_psds(prediction_dfs: Dict[float, pd.DataFrame],
@@ -295,6 +301,144 @@ def _file_count_curves(score: np.ndarray, timestamps: np.ndarray,
     return uniques, tps, fps
 
 
+def _file_count_curves_mc(score: np.ndarray, timestamps: np.ndarray,
+                          gt_cls: list, gt_other: Dict[str, list],
+                          dtc: float, gtc: float, cttc: float):
+    """Exact per-file count curves for one class incl. cross-triggers.
+
+    Like :func:`_file_count_curves` but additionally counts, per other
+    class, detections that fail DTC yet cross-trigger-match that class's
+    ground truths (summed det_precision >= cttc) — the psds_eval CTTC
+    criterion (reference utils/eval_util.py:136-223 config surface).
+
+    Returns (taus_desc, tps, fps, {other: cts}).
+    """
+    from texttoaudiogrounding_tpu.evaluation.decode import \
+        find_contiguous_regions
+
+    uniques = np.unique(score)[::-1]  # descending
+    gts = np.array(gt_cls, np.float64).reshape(-1, 2)
+    gt_dur = gts[:, 1] - gts[:, 0]
+    others = {c: np.array(v, np.float64).reshape(-1, 2)
+              for c, v in gt_other.items()}
+    tps = np.zeros(len(uniques), np.int64)
+    fps = np.zeros(len(uniques), np.int64)
+    cts = {c: np.zeros(len(uniques), np.int64) for c in others}
+    for i, tau in enumerate(uniques):
+        regions = find_contiguous_regions(score >= tau)
+        if len(regions) == 0:
+            continue
+        onsets = timestamps[regions[:, 0]]
+        offsets = timestamps[regions[:, 1]]
+        det_dur = np.maximum(offsets - onsets, 1e-15)
+
+        def prec_sum(gt_arr):
+            if len(gt_arr) == 0:
+                return np.zeros(len(onsets))
+            inter = (np.minimum(offsets[:, None], gt_arr[None, :, 1])
+                     - np.maximum(onsets[:, None], gt_arr[None, :, 0]))
+            return np.maximum(inter, 0.0)
+
+        inter = prec_sum(gts)                       # [D, G]
+        det_prec = inter.sum(1) / det_dur if len(gts) else \
+            np.zeros(len(onsets))
+        dtc_valid = det_prec >= dtc
+        if len(gts):
+            coverage = inter[dtc_valid].sum(0) / np.maximum(gt_dur, 1e-15)
+            tps[i] = int((coverage >= gtc).sum())
+        fps[i] = int((~dtc_valid).sum())
+        if cttc > 0 and (~dtc_valid).any():
+            for c, gt_arr in others.items():
+                if len(gt_arr) == 0:
+                    continue
+                ip = prec_sum(gt_arr)[~dtc_valid].sum(1) \
+                    / det_dur[~dtc_valid]
+                cts[c][i] = int((ip >= cttc).sum())
+    return uniques, tps, fps, cts
+
+
+def _merge_deltas(taus_all, counts_all):
+    """Merge per-file descending-threshold step functions into one global
+    curve: deltas vs the next-higher threshold, aggregated at identical
+    thresholds, cumulative-summed over the descending sweep."""
+    taus = np.concatenate(taus_all)
+    uniq, inverse = np.unique(taus, return_inverse=True)
+    merged = []
+    for counts in counts_all:
+        deltas = np.concatenate(
+            [np.diff(np.r_[0, c]) for c in counts])
+        d = np.bincount(inverse, weights=deltas, minlength=len(uniq))
+        merged.append(np.cumsum(d[::-1]))
+    return merged  # aligned to descending uniq
+
+
+def exact_psd_roc(scores: Dict[str, pd.DataFrame],
+                  ground_truth: Dict[str, list],
+                  durations: Dict[str, float],
+                  dtc_threshold: float = 0.5, gtc_threshold: float = 0.5,
+                  cttc_threshold: float = 0.0, alpha_ct: float = 0.0,
+                  alpha_st: float = 0.0,
+                  max_efpr: Optional[float] = None):
+    """Exact threshold-free multi-class PSD-ROC (sed_scores_eval
+    ``intersection_based.psd_roc`` semantics — reference
+    utils/eval_util.py:226-292, evaluate_on_desed.py:198-214).
+
+    Per class, every distinct detection set is enumerated at the score
+    change points of every file, counts (TP / FP / cross-triggers per
+    other class) are merged globally as threshold-sorted deltas, and the
+    per-class (eFPR, TPR) curves are combined exactly as the
+    operating-point evaluator does — so this equals the dense-grid path
+    in the limit of an infinitely fine grid, with no grid error.
+    """
+    total_duration = float(sum(durations.values()))
+    # gt per file per class + per-class totals
+    classes = sorted({label for evs in ground_truth.values()
+                      for *_, label in evs})
+    gt_by_fc = {fname: {} for fname in scores}
+    num_gts = {c: 0 for c in classes}
+    gt_dur = {c: 0.0 for c in classes}
+    for fname, evs in ground_truth.items():
+        for on, off, label in evs:
+            gt_by_fc.setdefault(fname, {}).setdefault(label, []).append(
+                (on, off))
+            num_gts[label] += 1
+            gt_dur[label] += off - on
+
+    per_class_points = {}
+    for cls in classes:
+        taus_all, tp_all, fp_all = [], [], []
+        ct_all = {c: [] for c in classes if c != cls}
+        for fname, df in scores.items():
+            if cls not in df.columns:
+                continue
+            score = df[cls].values
+            timestamps = np.r_[df["onset"].values, df["offset"].values[-1]]
+            by_c = gt_by_fc.get(fname, {})
+            taus, tps, fps, cts = _file_count_curves_mc(
+                score, timestamps, by_c.get(cls, []),
+                {c: by_c.get(c, []) for c in ct_all},
+                dtc_threshold, gtc_threshold, cttc_threshold)
+            taus_all.append(taus)
+            tp_all.append(tps)
+            fp_all.append(fps)
+            for c in ct_all:
+                ct_all[c].append(cts[c])
+        if not taus_all:
+            per_class_points[cls] = np.zeros((1, 2))
+            continue
+        merged = _merge_deltas(
+            taus_all, [tp_all, fp_all] + [ct_all[c] for c in ct_all])
+        tp, fp = merged[0], merged[1]
+        tpr = tp / max(num_gts[cls], 1e-15)
+        efpr = fp / max(total_duration, 1e-15) * 3600.0
+        if ct_all and cttc_threshold > 0 and alpha_ct != 0.0:
+            rates = [merged[2 + k] / max(gt_dur[c], 1e-15) * 3600.0
+                     for k, c in enumerate(ct_all)]
+            efpr = efpr + alpha_ct * np.mean(rates, axis=0)
+        per_class_points[cls] = np.stack([efpr, tpr], axis=1)
+    return _psds_from_points(per_class_points, alpha_st, max_efpr)
+
+
 def exact_single_class_psd_roc(scores: Dict[str, pd.DataFrame],
                                ground_truth: Dict[str, list],
                                durations: Dict[str, float],
@@ -356,15 +500,19 @@ def compute_psds_sed_scores(scores: Dict[str, pd.DataFrame],
                             alpha_st: float = 0.0,
                             max_efpr: Optional[float] = None,
                             num_thresholds: int = 200,
+                            exact: bool = True,
                             save_dir=None) -> float:
     """Threshold-resolved PSDS over score curves (sed_scores_eval path).
 
     Mirrors reference ``compute_psds_sed_scores`` (utils/eval_util.py:
     250-292): ``scores[fname]`` is a DataFrame with columns
     (onset, offset, <event>...) of per-frame scores; ground_truth[fname] is
-    a list of (onset, offset, event) tuples.  The threshold-free change-point
-    enumeration of sed_scores_eval is evaluated here on a dense uniform
-    threshold grid (no median filtering, ``>= threshold`` binarization).
+    a list of (onset, offset, event) tuples.  Threshold-free change-point
+    enumeration (sed_scores_eval semantics, ``>= threshold``
+    binarization, no median filtering) — exact for any number of classes
+    incl. CTTC / alpha_ct / alpha_st (the DESED PSDS2 scenario).
+    ``exact=False`` falls back to a dense uniform ``num_thresholds`` grid
+    through the operating-point evaluator (kept for cross-validation).
     """
     if not isinstance(duration, pd.DataFrame):
         duration = pd.read_csv(duration, sep="\t")
@@ -388,6 +536,19 @@ def compute_psds_sed_scores(scores: Dict[str, pd.DataFrame],
         if save_dir is not None:
             _plot_roc((roc[0], roc[1]), save_dir, dtc_threshold,
                       gtc_threshold, max_efpr, prefix="PSDS_sedscores")
+        return value
+
+    if exact:
+        durations = {fname: aid_to_dur[fname_to_aid[fname]]
+                     for fname in scores}
+        value, roc = exact_psd_roc(
+            scores, ground_truth, durations,
+            dtc_threshold=dtc_threshold, gtc_threshold=gtc_threshold,
+            cttc_threshold=cttc_threshold, alpha_ct=alpha_ct,
+            alpha_st=alpha_st, max_efpr=max_efpr)
+        if save_dir is not None:
+            _plot_roc(roc, save_dir, dtc_threshold, gtc_threshold,
+                      max_efpr, prefix="PSDS_sedscores")
         return value
 
     gt_rows = []

@@ -414,3 +414,259 @@ def fused_double_conv_pool(x: jax.Array, w1: jax.Array, ab1: tuple,
         interpret=interpret,
     )(xf, w1f, w2f, ab)
     return out.reshape(b, t // pt, m // pm, cout)
+
+
+# --------------------------------------------------------------------------
+# Mel-pair-packed variant (blocks with Cout < 256: Cnn8Rnn blocks 1-2).
+#
+# Rows are (t, mel-pair) and the N dim packs (mel parity p, out channel):
+# N = 2*Cout, so a Cout=64/128 conv still fills the 128/256 MXU lanes.
+# The conv weight becomes a banded matrix over K = (group, p_src, Cin)
+# (three full-width row-shifted input copies; 4 of the 6 K half-groups
+# carry weights, the rest are zero).  Every dot has K = 6*Cin >= 384,
+# which keeps the int8 MXU double-pumped (K=128 int8 dots are ~2x slower
+# than bf16, see module docstring), at 50-66%% band utilization.
+# --------------------------------------------------------------------------
+
+
+def _band_w(w, dt: int, compute_dtype, quantize: bool):
+    """One time-tap of the banded pair weight: [6*Cin, 2*Cout].
+
+    K rows are (group, p_src, cin) matching :func:`_pair4_build`'s
+    full-width group layout; mel offset dm4 = {g0: 1 + p_src,
+    g1: 0 (p_src=1 only), g2: 3 (p_src=0 only)}, and the weight element
+    for output parity p_out is w[dt, dm4 - p_out] when in the band."""
+    three, _, cin, cout = w.shape
+    wb = jnp.zeros((3, 2, cin, 2, cout), jnp.float32)
+    slots = {(0, 0): 1, (0, 1): 2, (1, 1): 0, (2, 0): 3}
+    for (g, p_src), dm4 in slots.items():
+        for p_out in range(2):
+            if 0 <= dm4 - p_out <= 2:
+                wb = wb.at[g, p_src, :, p_out].set(
+                    w[dt, dm4 - p_out].astype(jnp.float32))
+    wb = wb.reshape(6 * cin, 2 * cout)
+    if quantize:
+        return wb  # quantized jointly by the caller
+    return wb.astype(compute_dtype)
+
+
+def _prep_pair_w(w, compute_dtype, quantize: bool):
+    """[3, 3, Cin, Cout] -> [3*(4*Cin), 2*Cout] banded; int8 per-(p,
+    co)-channel quantized (returns (w, scales[2*Cout]))."""
+    taps = jnp.concatenate(
+        [_band_w(w, dt, compute_dtype, quantize) for dt in range(3)], axis=0)
+    if quantize:
+        s = jnp.maximum(jnp.max(jnp.abs(taps), axis=0), 1e-8) / 127.0
+        return _quant_i8(taps, 1.0 / s[None]), s
+    return taps.astype(compute_dtype), None
+
+
+def _pair4_build(dst_ref, src_ref, rows: int, mp: int, c0: int,
+                 quantize: bool, src_scale=None, src_off: int = 0):
+    """Pair-layout im2col: dst[q, (dm4*c0:...)] = the (p', mp') lane/row
+    slice of src for dm4 in [0, 4) (see module comment), with mel-pair
+    edge masks.  src rows are (t, mp) with lanes (p, c0) and a 1-row lead
+    pad at ``src_off``; dst row q has pair index q % mp.
+
+    Returns the activation scale used for int8 (1.0 otherwise)."""
+    # dst is 3 groups of 2*c0 columns, each a FULL-width row-shifted copy
+    # of src (sub-tile lane slices and pltpu.roll both fail to lower):
+    #   g0 = src[o+1]  (center row: both halves used, dm4 = 1+p_src)
+    #   g1 = src[o]    (only the p_src=1 half used -> dm4=0; p_src=0 rows
+    #                   get zero weights)
+    #   g2 = src[o+2]  (only the p_src=0 half used -> dm4=3)
+    # The unused halves cost K utilization (4/6 of the band), not builds.
+    if quantize:
+        if src_scale is None:
+            s = jnp.maximum(jnp.max(jnp.abs(
+                src_ref[...].astype(jnp.float32))), 1e-6) / 127.0
+        else:
+            s = src_scale
+    else:
+        s = 1.0
+
+    def q(v):
+        if quantize and v.dtype != jnp.int8:
+            return _quant_i8(v.astype(jnp.float32), 1.0 / s)
+        return v
+
+    o = src_off
+    melp = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % mp
+    dst_ref[:, 0:2 * c0] = q(src_ref[o + 1:o + 1 + rows])
+    dst_ref[:, 2 * c0:4 * c0] = q(jnp.where(
+        melp != 0, src_ref[o:o + rows],
+        jnp.zeros((), src_ref.dtype)))
+    dst_ref[:, 4 * c0:6 * c0] = q(jnp.where(
+        melp != mp - 1, src_ref[o + 2:o + 2 + rows],
+        jnp.zeros((), src_ref.dtype)))
+    return s
+
+
+def _pair_kernel(x_ref, w1_ref, w2_ref, ab_ref, out_ref, xp_ref, xc_ref,
+                 x4_ref, y1_ref, y4_ref, *, t: int, mp: int, c0: int,
+                 cout: int, pt: int, tc: int, quantize: bool,
+                 skip_conv1: bool):
+    """Pair-layout fused block.  Grid = (batch, out-time chunks of tc).
+
+    x: rows (t, mp), lanes (p, c0) — 2*c0 wide.  When ``skip_conv1`` the
+    input is already the first conv's activation (int8 pre-quantized
+    XLA-side with the scale folded into ab) and only conv2+pool run.
+    ab_ref: [4, 2*cout] tiled (p, co) affines."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    lanes = x_ref.shape[-1]
+
+    @pl.when(j == 0)
+    def _():
+        xp_ref[0:2 * mp + 1] = jnp.zeros((2 * mp + 1, lanes), xp_ref.dtype)
+        xp_ref[pl.ds(2 * mp + 1, t * mp)] = x_ref[0]
+        xp_ref[pl.ds((t + 2) * mp + 1, 2 * mp + 1)] = jnp.zeros(
+            (2 * mp + 1, lanes), xp_ref.dtype)
+        if not skip_conv1:
+            y1_ref[0:1] = jnp.zeros((1, 2 * cout), y1_ref.dtype)
+
+    rows1 = (tc + 2) * mp
+    rows2 = tc * mp
+    rows_x = (tc + 4) * mp
+    acc_dtype = jnp.int32 if quantize else jnp.float32
+    a1 = ab_ref[0:1]
+    b1 = ab_ref[1:2]
+    a2 = ab_ref[2:3]
+    b2 = ab_ref[3:4]
+    t0 = j * tc
+
+    xc_ref[...] = xp_ref[pl.ds(j * rows2, rows_x + 2)]
+
+    if skip_conv1:
+        # conv2 reads the staged input directly; its 1-time-row lead pad
+        # relative to conv2's output range is mp rows into xc
+        src_ref, src_off = xc_ref, mp
+    else:
+        y1_ref[rows1 + 1:rows1 + 2] = jnp.zeros((1, 2 * cout),
+                                                y1_ref.dtype)
+        s1 = _pair4_build(x4_ref, xc_ref, rows_x, mp, c0, quantize)
+        kp1 = w1_ref.shape[0] // 3
+        acc1 = _conv3(x4_ref, w1_ref, rows1, mp, kp1, acc_dtype)
+        trow = jax.lax.broadcasted_iota(jnp.int32, (rows1, 1), 0) // mp
+        tval = ((trow + (t0 - 1)) >= 0) & ((trow + (t0 - 1)) < t)
+        y1f = acc1.astype(jnp.float32) * (a1 * s1) + b1
+        y1f = jnp.where(tval, jnp.maximum(y1f, 0.0), 0.0)
+        y1_ref[pl.ds(1, rows1)] = y1f.astype(y1_ref.dtype)
+        src_ref, src_off = y1_ref, 0
+
+    sy = _pair4_build(y4_ref, src_ref, rows1, mp, cout, quantize,
+                      src_scale=1.0 if skip_conv1 and quantize else None,
+                      src_off=src_off)
+    kp2 = w2_ref.shape[0] // 3
+    acc2 = _conv3(y4_ref, w2_ref, rows2, mp, kp2, acc_dtype)
+    y2 = jnp.maximum(acc2.astype(jnp.float32) * (a2 * sy) + b2, 0.0)
+
+    # mel pool: lane halves (p); time pool: adjacent mp-row blocks
+    c = cout
+    s = (y2[:, :c] + y2[:, c:]) * (1.0 / (2 * pt))
+    mx = jnp.maximum(y2[:, :c], y2[:, c:])
+    if pt == 2:
+        vs = s.reshape(rows2 // (2 * mp), 2 * mp, c)
+        vm = mx.reshape(rows2 // (2 * mp), 2 * mp, c)
+        s = (vs[:, :mp] + vs[:, mp:]).reshape(rows2 // 2, c)
+        mx = jnp.maximum(vm[:, :mp], vm[:, mp:]).reshape(rows2 // 2, c)
+    out_ref[0] = (s + mx).astype(out_ref.dtype)
+
+
+def fused_pair_conv_pool(x: jax.Array, w1, ab1, w2, ab2,
+                         pool: tuple = (2, 2), *, quantize: bool = False,
+                         tc: int | None = None, x_scale=None,
+                         compute_dtype=jnp.bfloat16,
+                         interpret: bool = False) -> jax.Array:
+    """Pair-packed fused PANNs block for Cout < 256 (pm must be 2).
+
+    x: ``[B, T, M, Cin]``; returns ``[B, T//pt, M//2, Cout]``.
+    ``w1=None`` skips conv1 (block1 mode: x is the conv1 activation,
+    int8 with ``x_scale`` when quantize).  T must be divisible by the
+    chunking; pad T with zero rows beforehand if needed (extra pooled
+    rows are sliced off by the caller).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, m, cin = x.shape
+    cout = w2.shape[-1]
+    pt, pm = pool
+    assert pm == 2, "pair kernel pools mel pairs by construction"
+    mp = m // 2
+    skip_conv1 = w1 is None
+    in_dtype = jnp.int8 if (skip_conv1 and quantize) else compute_dtype
+
+    xf = x.reshape(b, t * mp, 2 * cin).astype(in_dtype)
+
+    def tile2(v):
+        # N lane order is (p, co): duplicating matches p * cout + co
+        return jnp.concatenate([jnp.asarray(v, jnp.float32)] * 2)
+
+    a1, bb1 = ab1 if ab1 is not None else (jnp.ones((cout,)),
+                                           jnp.zeros((cout,)))
+    a2, bb2 = ab2
+    a1, bb1, a2, bb2 = map(tile2, (a1, bb1, a2, bb2))
+    if skip_conv1:
+        w1f = jnp.zeros((3, 128), in_dtype)  # placeholder ref
+        if quantize:
+            w2f, sw2 = _prep_pair_w(w2, compute_dtype, True)
+            a2 = a2 * sw2 * (x_scale if x_scale is not None else 1.0)
+        else:
+            w2f, _ = _prep_pair_w(w2, compute_dtype, False)
+    else:
+        w1f, sw1 = _prep_pair_w(w1, compute_dtype, quantize)
+        w2f, sw2 = _prep_pair_w(w2, compute_dtype, quantize)
+        if quantize:
+            a1 = a1 * sw1
+            a2 = a2 * sw2
+    ab = jnp.stack([a1, bb1, a2, bb2]).astype(jnp.float32)
+
+    if tc is None:
+        best = 0
+        for c in range(pt, t + 1, pt):
+            if (t % c == 0 and c * mp <= 2000
+                    and ((c // pt) * mp) % 8 == 0):
+                best = c
+        if best == 0:
+            raise ValueError(f"no valid pair chunk for T={t} M={m}")
+        tc = best
+    rows1 = (tc + 2) * mp
+    rows_x = (tc + 4) * mp
+    q_dtype = jnp.int8 if quantize else compute_dtype
+
+    kern = functools.partial(_pair_kernel, t=t, mp=mp, c0=cin, cout=cout,
+                             pt=pt, tc=tc, quantize=quantize,
+                             skip_conv1=skip_conv1)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, t // tc),
+        in_specs=[
+            pl.BlockSpec((1, t * mp, 2 * cin), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1f.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2f.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 2 * cout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, (tc // pt) * mp, cout), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, (t // pt) * mp, cout),
+            jnp.bfloat16 if quantize else compute_dtype),
+        scratch_shapes=[
+            pltpu.VMEM(((t + 4) * mp + 2, 2 * cin), in_dtype),   # xp
+            pltpu.VMEM((rows_x + 2, 2 * cin), in_dtype),         # xc
+            pltpu.VMEM((rows_x, 6 * cin) if not skip_conv1
+                       else (8, 128), q_dtype),                  # x4
+            pltpu.VMEM((rows1 + 2, 2 * cout) if not skip_conv1
+                       else (8, 128), compute_dtype),            # y1
+            pltpu.VMEM((rows1, 6 * cout), q_dtype),              # y4
+        ],
+        interpret=interpret,
+    )(xf, w1f, w2f, ab)
+    return out.reshape(b, t // pt, mp, cout)
