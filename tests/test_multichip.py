@@ -1,0 +1,173 @@
+"""Multi-chip (virtual 8-device CPU mesh) training-step tests.
+
+SURVEY §2's parallelism mandate: data-parallel over ICI is the first-
+class axis, with tensor sharding demonstrated on the wide dense layers.
+These tests pin (a) the WSTAG ``MultiTextBiEncoder`` train step — whose
+B·N phrase einsum is the interesting sharding case — compiling and
+running under a dp4 x tp2 mesh, and (b) DP equivalence: the same global
+batch on an 8-way data-parallel mesh reproduces the single-device loss
+trajectory (GSPMD inserts the gradient psum; only summation order may
+differ) while the loss decreases.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from texttoaudiogrounding_tpu.losses import ClipBceLoss, FrameBceLoss
+from texttoaudiogrounding_tpu.models import BiEncoder, Cnn8Rnn, EmbeddingAgg
+from texttoaudiogrounding_tpu.models.audio_text_model import (
+    MultiTextBiEncoder,
+)
+from texttoaudiogrounding_tpu.models.match import DotProduct
+from texttoaudiogrounding_tpu.parallel.mesh import (
+    batch_sharding,
+    get_mesh,
+    replicate,
+    shard_batch,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+def _wstag_batch(b=8, n=4, samples=6400, text_len=3, seed=0):
+    rng = np.random.default_rng(seed)
+    label = np.zeros((b, n), np.float32)
+    label[:, :2] = 1.0
+    return {
+        "waveform": rng.normal(size=(b, samples)).astype(np.float32) * 0.1,
+        "waveform_len": np.full((b,), samples, np.int32),
+        "text": rng.integers(1, 100, size=(b, n, text_len)).astype(
+            np.int32),
+        "text_len": np.full((b, n), text_len, np.int32),
+        "label": label,
+    }
+
+
+def test_wstag_train_step_dp_tp_mesh():
+    mesh = get_mesh(jax.devices()[:8], axis_names=("data", "model"),
+                    shape=(4, 2))
+    model = MultiTextBiEncoder(
+        audio_encoder=Cnn8Rnn(sample_rate=32000),
+        text_encoder=EmbeddingAgg(vocab_size=100, embed_dim=64),
+        match_fn=DotProduct(), shared_dim=64, add_proj=True)
+    batch = _wstag_batch()
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+    params, batch_stats = variables["params"], variables.get(
+        "batch_stats", {})
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    loss_fn = ClipBceLoss()
+
+    def train_step(params, batch_stats, opt_state, batch, rng):
+        def wrapped(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats}, batch,
+                train=True, rngs={"dropout": rng},
+                mutable=["batch_stats"])
+            out = dict(out)
+            out["label"] = batch["label"]
+            return loss_fn(out), mut
+        (loss, mut), grads = jax.value_and_grad(wrapped, has_aux=True)(
+            params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates),
+                mut["batch_stats"], opt_state, loss)
+
+    rep = replicate(mesh)
+    data = batch_sharding(mesh)
+
+    def param_sharding(path, leaf):
+        names = tuple(getattr(p, "key", str(p)) for p in path)
+        if "fc1" in names and names[-1] == "kernel":
+            return NamedSharding(mesh, P(None, "model"))
+        if "embedding" in names and names[-1] == "embedding":
+            return NamedSharding(mesh, P("model", None))
+        return rep
+    ps = jax.tree_util.tree_map_with_path(param_sharding, params)
+    step = jax.jit(train_step,
+                   in_shardings=(ps, rep, rep, data, rep),
+                   out_shardings=(ps, rep, rep, rep))
+
+    sb = shard_batch(batch, mesh)
+    params = jax.tree.map(jax.device_put, params, ps)
+    batch_stats = jax.device_put(batch_stats, rep)
+    opt_state = jax.device_put(opt_state, rep)
+    rng = jax.device_put(jax.random.PRNGKey(0), rep)
+    params, batch_stats, opt_state, loss = step(
+        params, batch_stats, opt_state, sb, rng)
+    assert np.isfinite(float(loss))
+
+
+def test_dp8_matches_single_device_and_converges():
+    mesh = get_mesh(jax.devices()[:8], axis_names=("data",), shape=(8,))
+    model = BiEncoder(
+        audio_encoder=Cnn8Rnn(sample_rate=32000),
+        text_encoder=EmbeddingAgg(vocab_size=100, embed_dim=64),
+        match_fn=DotProduct(), shared_dim=64, add_proj=True)
+    rng_np = np.random.default_rng(1)
+    b, samples = 8, 6400
+    n_frames = (samples // 320 + 1) // 4
+    batch = {
+        "waveform": rng_np.normal(size=(b, samples)).astype(
+            np.float32) * 0.1,
+        "waveform_len": np.full((b,), samples, np.int32),
+        "text": rng_np.integers(1, 100, size=(b, 4)).astype(np.int32),
+        "text_len": np.full((b,), 4, np.int32),
+    }
+    label = np.zeros((b, n_frames), np.float32)
+    label[:, : n_frames // 3] = 1.0
+    batch["label"] = label
+
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+    loss_fn = FrameBceLoss()
+    tx = optax.adam(2e-3)
+
+    def make_steps(sharded):
+        def train_step(params, batch_stats, opt_state, batch):
+            def wrapped(p):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, batch,
+                    train=True,
+                    rngs={"dropout": jax.random.PRNGKey(7)},
+                    mutable=["batch_stats"])
+                out = dict(out)
+                out["label"] = batch["label"]
+                return loss_fn(out), mut
+            (loss, mut), grads = jax.value_and_grad(
+                wrapped, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates),
+                    mut["batch_stats"], opt_state, loss)
+        if not sharded:
+            return jax.jit(train_step)
+        rep = replicate(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(train_step,
+                       in_shardings=(rep, rep, rep, data),
+                       out_shardings=(rep, rep, rep, rep))
+
+    losses = {}
+    for mode in ("single", "dp8"):
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = tx.init(params)
+        step = make_steps(mode == "dp8")
+        b_in = shard_batch(batch, mesh) if mode == "dp8" else batch
+        ls = []
+        for _ in range(4):
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state, b_in)
+            ls.append(float(loss))
+        losses[mode] = ls
+
+    # same global batch → same trajectory (only reduction order differs)
+    np.testing.assert_allclose(losses["dp8"], losses["single"],
+                               rtol=2e-4, atol=2e-5)
+    assert losses["dp8"][-1] < losses["dp8"][0]

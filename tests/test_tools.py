@@ -184,3 +184,66 @@ def test_phrase_embedding_extraction(tmp_path):
     embs = pickle.load(open(tmp_path / "pe.pkl", "rb"))
     assert set(embs) == {"dog barking", "cat meowing"}
     assert np.isfinite(embs["dog barking"]).all()
+
+
+def test_oov_lemma_and_spellfix(tmp_path):
+    """The OOV pipeline mirrors the reference resolution order
+    (utils/word2vec/load_pretrained.py:23-152): exact → lowercase →
+    rule-based lemma → edit-1 spell fix → mean 'unknown' vector."""
+    from texttoaudiogrounding_tpu.data.vocabulary import Vocabulary
+    from texttoaudiogrounding_tpu.tools.embeddings import (
+        build_vocab_embedding_matrix,
+        edit1_candidates,
+        lemma_candidates,
+    )
+
+    assert "run" in lemma_candidates("running")
+    assert "bark" in lemma_candidates("barking")
+    assert "whistle" in lemma_candidates("whistling")
+    assert "dog" in lemma_candidates("dogs")
+    assert "wave" in lemma_candidates("waved")
+    assert "city" in lemma_candidates("cities")
+    assert "dog" in edit1_candidates("dgo")     # transpose
+    assert "dog" in edit1_candidates("dogg")    # delete
+
+    vecs = {"dog": np.full(4, 1, np.float32),
+            "bark": np.full(4, 2, np.float32),
+            "meow": np.full(4, 3, np.float32)}
+    with open(tmp_path / "w2v.bin", "wb") as f:
+        f.write(f"{len(vecs)} 4\n".encode())
+        for word, vec in vecs.items():
+            f.write(word.encode() + b" " + vec.tobytes())
+
+    vocab = Vocabulary()
+    for w in ("<pad>", "<unk>", "Dog", "barking", "meoww", "qqqq"):
+        vocab.add_word(w)
+    vocab.save(tmp_path / "vocab.pkl")
+    matrix = build_vocab_embedding_matrix(
+        str(tmp_path / "vocab.pkl"), str(tmp_path / "w2v.bin"),
+        str(tmp_path / "emb.npy"))
+    np.testing.assert_array_equal(matrix[2], vecs["dog"])    # lowercase
+    np.testing.assert_array_equal(matrix[3], vecs["bark"])   # lemma
+    np.testing.assert_array_equal(matrix[4], vecs["meow"])   # spell fix
+    # total miss → mean of loaded vectors
+    np.testing.assert_allclose(matrix[5], np.full(4, 2.0), rtol=1e-6)
+
+
+def test_calc_phrase_sim_count(tmp_path):
+    import json
+    import pickle
+
+    from texttoaudiogrounding_tpu.tools.label_tools import (
+        calc_phrase_sim_count)
+
+    counts = {"a dog barks": 3, "dog barking": 5, "water runs": 7}
+    embs = {"a dog barks": np.array([1.0, 0.0]),
+            "dog barking": np.array([0.9, 0.1]),
+            "water runs": np.array([0.0, 1.0])}
+    json.dump(counts, open(tmp_path / "counts.json", "w"))
+    pickle.dump(embs, open(tmp_path / "embs.pkl", "wb"))
+    calc_phrase_sim_count(str(tmp_path / "counts.json"),
+                          str(tmp_path / "embs.pkl"),
+                          str(tmp_path / "out.json"), threshold=0.5)
+    got = json.load(open(tmp_path / "out.json"))
+    # dog phrases are mutually similar (cos≈0.99), water is orthogonal
+    assert got == {"a dog barks": 8, "dog barking": 8, "water runs": 7}

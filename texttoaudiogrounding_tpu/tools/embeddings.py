@@ -42,38 +42,100 @@ def read_word2vec_binary(path: str, restrict_vocab: set | None = None
     return vectors
 
 
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def lemma_candidates(word: str) -> list[str]:
+    """Rule-based English lemma candidates (suffix stripping), most
+    specific first.
+
+    Stands in for the reference's spacy lemmatizer (utils/word2vec/
+    load_pretrained.py:23-152 — spacy is absent here); covers the
+    regular inflections that dominate caption vocabulary: plurals,
+    -ing/-ed (with consonant-doubling and silent-e restoration), -er/-est.
+    """
+    w = word
+    out = []
+    if w.endswith("ies") and len(w) > 4:
+        out.append(w[:-3] + "y")
+    if w.endswith("es") and len(w) > 3:
+        out += [w[:-2], w[:-1]]
+    elif w.endswith("s") and len(w) > 3 and not w.endswith("ss"):
+        out.append(w[:-1])
+    for suf in ("ing", "ed", "er", "est"):
+        if w.endswith(suf) and len(w) > len(suf) + 2:
+            stem = w[: -len(suf)]
+            out += [stem, stem + "e"]
+            if len(stem) > 2 and stem[-1] == stem[-2]:
+                out.append(stem[:-1])          # running -> run
+    seen, uniq = set(), []
+    for c in out:
+        if c not in seen and c != word:
+            seen.add(c)
+            uniq.append(c)
+    return uniq
+
+
+def edit1_candidates(word: str) -> list[str]:
+    """All strings at edit distance 1 (the symspell-style spell fallback;
+    reference uses symspellpy, absent here)."""
+    splits = [(word[:i], word[i:]) for i in range(len(word) + 1)]
+    deletes = [a + b[1:] for a, b in splits if b]
+    transposes = [a + b[1] + b[0] + b[2:] for a, b in splits if len(b) > 1]
+    replaces = [a + ch + b[1:] for a, b in splits if b for ch in _ALPHABET]
+    inserts = [a + ch + b for a, b in splits for ch in _ALPHABET]
+    return list(dict.fromkeys(deletes + transposes + replaces + inserts))
+
+
 def build_vocab_embedding_matrix(vocab_path: str, word2vec_bin: str,
                                  output: str,
                                  embed_dim: int | None = None,
                                  seed: int = 0) -> np.ndarray:
     """vocab pickle + word2vec .bin → ``[V, D]`` embedding matrix ``.npy``.
 
-    OOV words get random normal vectors (the reference additionally
-    lemmatizes/spell-fixes via spacy/symspell, utils/word2vec/
-    load_pretrained.py:23-152 — those packages are absent here; simple
-    lowercase fallback is applied instead).
+    OOV resolution order mirrors the reference pipeline (utils/word2vec/
+    load_pretrained.py:23-152): exact → lowercase → rule-based lemma →
+    edit-distance-1 spell fix; words that still miss get the mean of the
+    loaded word2vec vectors (the reference's "unknown vector").
     """
     from texttoaudiogrounding_tpu.data.vocabulary import Vocabulary
     vocab = Vocabulary.load(vocab_path)
     words = [vocab.idx2word[i] for i in range(len(vocab))]
-    vectors = read_word2vec_binary(word2vec_bin,
-                                   restrict_vocab=set(words)
-                                   | {w.lower() for w in words})
+
+    # candidate set per word, generated up front so one .bin pass suffices
+    cand_lists: dict[str, list[str]] = {}
+    restrict: set[str] = set()
+    for word in words:
+        lo = word.lower()
+        cands = [word, lo] + lemma_candidates(lo) + edit1_candidates(lo)
+        cand_lists[word] = cands
+        restrict.update(cands)
+    vectors = read_word2vec_binary(word2vec_bin, restrict_vocab=restrict)
+
     dim = embed_dim or (len(next(iter(vectors.values())))
                         if vectors else 300)
     rng = np.random.default_rng(seed)
+    unknown = (np.mean([v for v in vectors.values() if len(v) == dim],
+                       axis=0)
+               if vectors else rng.normal(scale=0.1, size=dim))
     matrix = np.zeros((len(words), dim), np.float32)
-    hit = 0
+    hits = {"exact": 0, "lemma": 0, "spellfix": 0, "unknown": 0}
     for i, word in enumerate(words):
-        vec = vectors.get(word, vectors.get(word.lower()))
-        if vec is not None and len(vec) == dim:
-            matrix[i] = vec
-            hit += 1
-        else:
-            matrix[i] = rng.normal(scale=0.1, size=dim)
+        cands = cand_lists[word]
+        vec, kind = None, "unknown"
+        for j, c in enumerate(cands):
+            v = vectors.get(c)
+            if v is not None and len(v) == dim:
+                vec = v
+                n_lemma = 2 + len(lemma_candidates(word.lower()))
+                kind = ("exact" if j < 2
+                        else "lemma" if j < n_lemma else "spellfix")
+                break
+        matrix[i] = vec if vec is not None else unknown
+        hits[kind] += 1
     np.save(output, matrix)
-    print(f"embedding matrix [{len(words)}, {dim}], "
-          f"{hit}/{len(words)} from word2vec → {output}")
+    print(f"embedding matrix [{len(words)}, {dim}] → {output}; "
+          + ", ".join(f"{k}: {v}" for k, v in hits.items()))
     return matrix
 
 

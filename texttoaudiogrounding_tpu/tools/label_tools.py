@@ -1,7 +1,7 @@
 """Label JSON manipulation CLIs.
 
 Reference: utils/data/{concat_label, calc_phrase_count,
-sample_subset_by_frac, filter_non_trivial_samples,
+calc_phrase_sim_count, sample_subset_by_frac, filter_non_trivial_samples,
 exclude_overlap_with_test}.py (~300 LoC of small tools).
 """
 
@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+from pathlib import Path
 from collections import Counter
 
 import numpy as np
@@ -43,6 +44,38 @@ def calc_phrase_count(label: str, output: str) -> None:
     with open(output, "w") as f:
         json.dump(dict(counter), f)
     print(f"wrote {len(counter)} phrase counts to {output}")
+
+
+def calc_phrase_sim_count(phrase_count: str, embedding: str, output: str,
+                          threshold: float = 0.5) -> None:
+    """phrase → similarity-weighted count JSON: for each phrase, the sum
+    of occurrence counts over all phrases whose embedding cosine
+    similarity is >= ``threshold`` (feeds ``ClipBceLossFreqWeight``).
+
+    Reference: utils/data/calc_phrase_sim_count.py.
+    """
+    import pickle
+
+    import numpy as np
+
+    with open(phrase_count) as f:
+        phrase_to_count = json.load(f)
+    with open(embedding, "rb") as f:
+        phrase_to_emb = pickle.load(f)
+
+    phrases = [p for p in phrase_to_emb if p in phrase_to_count]
+    embs = np.stack([np.asarray(phrase_to_emb[p], np.float32)
+                     for p in phrases])
+    cnts = np.array([phrase_to_count[p] for p in phrases], np.int64)
+    norm = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True),
+                             1e-12)
+    sims = norm @ norm.T                       # [P, P] cosine
+    sim_count = {p: int(cnts[sims[i] >= threshold].sum())
+                 for i, p in enumerate(phrases)}
+    Path(output).parent.mkdir(parents=True, exist_ok=True)
+    with open(output, "w") as f:
+        json.dump(sim_count, f, indent=4)
+    print(f"wrote {len(sim_count)} similarity-weighted counts to {output}")
 
 
 def sample_subset_by_frac(label: str, output: str, frac: float,
@@ -97,6 +130,11 @@ def main():
     p = sub.add_parser("phrase_count")
     p.add_argument("label")
     p.add_argument("output")
+    p = sub.add_parser("phrase_sim_count")
+    p.add_argument("phrase_count")
+    p.add_argument("embedding")
+    p.add_argument("output")
+    p.add_argument("--threshold", type=float, default=0.5)
     p = sub.add_parser("sample_frac")
     p.add_argument("label")
     p.add_argument("output")
@@ -116,6 +154,9 @@ def main():
         concat_label(args.inputs, args.output)
     elif args.cmd == "phrase_count":
         calc_phrase_count(args.label, args.output)
+    elif args.cmd == "phrase_sim_count":
+        calc_phrase_sim_count(args.phrase_count, args.embedding,
+                              args.output, args.threshold)
     elif args.cmd == "sample_frac":
         sample_subset_by_frac(args.label, args.output, args.frac, args.seed)
     elif args.cmd == "filter_non_trivial":

@@ -36,6 +36,28 @@ def _mixup_lambdas(rng: np.ndarray, batch_size: int,
 
 
 @register("ClassMappingStrongRunner")
+def mapping_strong_output_transform(output: dict, batch: dict) -> dict:
+    """Merge batch supervision and truncate the padded ``strong_label``
+    ``[N, T, C]`` to the model's frame count (reference run_strong.py:
+    107-118 truncation, inherited by mapping_to_class/run_strong.py)."""
+    import jax.numpy as jnp
+
+    merged = weak_output_transform(output, batch)
+    if "strong_label_mask" not in merged and "weak_label" in merged:
+        # kmeans/spectral strong datasets emit class presence as
+        # ``weak_label`` — the same per-class mask ASMappingStrong calls
+        # ``strong_label_mask``
+        merged["strong_label_mask"] = merged["weak_label"]
+    if "strong_label" in merged:
+        frame_sim = merged["frame_sim"]
+        label = merged["strong_label"].astype(frame_sim.dtype)
+        t = min(frame_sim.shape[1], label.shape[1])
+        merged["frame_sim"] = frame_sim[:, :t]
+        merged["strong_label"] = label[:, :t]
+        merged["length"] = jnp.clip(merged["length"], 1, t)
+    return merged
+
+
 class ClassMappingStrongRunner(StrongRunner):
     """Strong class-mapping training (MaskedFrameBceLoss family) + PSDS
     eval slicing the matched class channel."""
@@ -50,7 +72,7 @@ class ClassMappingStrongRunner(StrongRunner):
         model = self.build_model()
         loss_fn = self.build_loss()
         self.fit(model, loss_fn, train_loader, val_loader,
-                 weak_output_transform, exp_dir)
+                 mapping_strong_output_transform, exp_dir)
         return exp_dir
 
     def eval_inference(self, dataloader, model, state,

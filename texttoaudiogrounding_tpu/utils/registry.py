@@ -75,6 +75,10 @@ def instantiate(config: dict, **kwargs) -> Any:
         raise ValueError(f"component config missing 'type': {config}")
     obj_args: dict = {}
     for key, value in config.get("args", {}).items():
+        if key == "dtype" and isinstance(value, str):
+            # YAML-friendly mixed precision: dtype: bfloat16 etc.
+            import jax.numpy as jnp
+            value = jnp.dtype(value).type
         obj_args[key] = instantiate(value) if _is_component_cfg(value) else value
     # hydra-style: everything at top level except the tag is an arg
     if "args" not in config and "_target_" in config:
