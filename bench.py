@@ -21,12 +21,19 @@ import numpy as np
 
 
 def main():
+    import os
+
+    # default serving mode: fused int8 Pallas conv blocks — measured
+    # metric-identical to f32 on a trained checkpoint (PSDS/th-AUC equal
+    # to 4 decimals, max frame-prob delta 0.028; scripts/verify_e2e_tpu.py)
+    os.environ.setdefault("TTG_FUSED_CONV", "int8")
+
     import jax
 
     from __graft_entry__ import _example_batch, _flagship_model
 
-    batch_size = int(__import__("os").environ.get("BENCH_BATCH", 128))
-    iters = int(__import__("os").environ.get("BENCH_ITERS", 20))
+    batch_size = int(os.environ.get("BENCH_BATCH", 128))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
 
     model = _flagship_model(serving=True)
     batch = _example_batch(batch_size=batch_size)

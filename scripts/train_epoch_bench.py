@@ -20,7 +20,7 @@ def main():
 
     root = Path(tempfile.mkdtemp(prefix=f"epoch_{mode}_"))
     wav_csv, label_json, _ = make_grounding_data(
-        root / "d", num_audio=48, duration=10.0, seed=3)
+        root / "d", num_audio=160, duration=10.0, seed=3)
     vocab_path = root / "vocab.pkl"
     vocab = make_vocab(label_json, vocab_path)
 

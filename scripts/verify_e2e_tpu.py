@@ -103,6 +103,21 @@ def main():
     print("rand floor psds:", round(rand["psds@None"], 4))
     assert results["psds@None"] > rand["psds@None"]
 
+    # metric-level parity of the int8 fused serving mode on the same
+    # checkpoint (model_overrides switches the eval model to bf16, the
+    # env flag routes blocks 3-4 through the int8 Pallas kernels)
+    os.environ["TTG_FUSED_CONV"] = "int8"
+    try:
+        results_i8 = StrongRunner().evaluate(
+            exp_dir, str(eval_cfg_path),
+            overrides=["model_overrides.audio_encoder.args.dtype="
+                       "bfloat16"])
+    finally:
+        os.environ["TTG_FUSED_CONV"] = "0"
+    print("int8 serving eval:",
+          {k: round(v, 4) for k, v in results_i8.items()})
+    assert abs(results_i8["psds@None"] - results["psds@None"]) < 0.03
+
     # --- int8 fused serving path vs XLA on the trained params ---
     from texttoaudiogrounding_tpu.training.train_state import load_checkpoint
     from texttoaudiogrounding_tpu.utils.registry import instantiate

@@ -115,7 +115,10 @@ class Cnn8Rnn(nn.Module):
         x = jnp.mean(x, axis=2)  # mean over mel → [B, T/4, 512]
         x = nn.Dropout(0.5, deterministic=not train)(x)
         x = nn.relu(nn.Dense(512, kernel_init=xavier_uniform, name="fc1")(x))
-        x = BiGRU(256, name="rnn")(x.astype(jnp.float32))
+        # serving in bf16 runs the recurrence on the bf16 MXU path too;
+        # training keeps the f32 recurrence (reference parity)
+        gru_dtype = self.dtype if not train else jnp.float32
+        x = BiGRU(256, dtype=gru_dtype, name="rnn")(x.astype(jnp.float32))
 
         length = jnp.asarray(input_dict["waveform_len"]) // cfg.hop_length + 1
         length = length // self.downsample_ratio

@@ -146,6 +146,7 @@ class GRUSeq(nn.Module):
 
     hidden: int
     reverse: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -161,25 +162,30 @@ class GRUSeq(nn.Module):
         # hoisted input projections: [B, T, in] @ [in, 3H] in one matmul
         wi = jnp.concatenate([ir_k, iz_k, in_k], axis=1)
         bi = jnp.concatenate([ir_b, iz_b, in_b])
-        proj = jnp.einsum("btd,dh->bth", x, wi,
+        proj = jnp.einsum("btd,dh->bth", x.astype(self.dtype),
+                          wi.astype(self.dtype),
                           preferred_element_type=jnp.float32) + bi
-        wh_rz = jnp.concatenate([hr_k, hz_k], axis=1)        # [H, 2H]
+        wh_rz = jnp.concatenate([hr_k, hz_k], axis=1).astype(
+            self.dtype)                                      # [H, 2H]
+        hn_kc = hn_k.astype(self.dtype)
 
         if self.reverse:
             proj = jnp.flip(proj, axis=1)
 
         def step(hid, p):
+            # gates in f32; the hidden state (the recurrent dot operand)
+            # carries ``dtype`` so bf16 serving uses bf16 MXU passes
             rz = jnp.dot(hid, wh_rz, preferred_element_type=jnp.float32)
             r = jax.nn.sigmoid(p[:, :h] + rz[:, :h])
             z = jax.nn.sigmoid(p[:, h:2 * h] + rz[:, h:])
             n = jnp.tanh(p[:, 2 * h:]
-                         + r * (jnp.dot(hid, hn_k,
+                         + r * (jnp.dot(hid, hn_kc,
                                         preferred_element_type=jnp.float32)
                                 + hn_b))
-            hid = (1 - z) * n + z * hid
-            return hid, hid
+            hid = ((1 - z) * n + z * hid.astype(jnp.float32))
+            return hid.astype(self.dtype), hid
 
-        h0 = jnp.zeros((x.shape[0], h), proj.dtype)
+        h0 = jnp.zeros((x.shape[0], h), self.dtype)
         _, ys = jax.lax.scan(step, h0, jnp.swapaxes(proj, 0, 1))
         ys = jnp.swapaxes(ys, 0, 1)
         if self.reverse:
@@ -196,11 +202,13 @@ class BiGRU(nn.Module):
     """
 
     hidden: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        fwd = GRUSeq(self.hidden, name="GRUCell_0")(x)
-        bwd = GRUSeq(self.hidden, reverse=True, name="GRUCell_1")(x)
+        fwd = GRUSeq(self.hidden, dtype=self.dtype, name="GRUCell_0")(x)
+        bwd = GRUSeq(self.hidden, dtype=self.dtype, reverse=True,
+                     name="GRUCell_1")(x)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 

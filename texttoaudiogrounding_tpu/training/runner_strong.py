@@ -238,6 +238,13 @@ class StrongRunner(BaseRunner):
                                              **kwargs)
         exp_dir = Path(experiment_path)
         self.setup(exp_dir / "config.yaml")
+        if eval_config.get("model_overrides"):
+            # e.g. {audio_encoder: {args: {dtype: bfloat16}}} to evaluate
+            # a checkpoint in the bf16/int8 serving configuration
+            from texttoaudiogrounding_tpu.utils.config import \
+                merge_a_into_b
+            merge_a_into_b(eval_config["model_overrides"],
+                           self.config["model"])
         self.config["eval_config"] = {
             "n_thresholds": eval_config.get("n_thresholds", 50)}
         inf_args = {"window_size": eval_config.get("window_size", 1)}
