@@ -18,18 +18,6 @@ import numpy as np
 import optax
 
 
-def timeit(fn, args, iters=10):
-    out = fn(*args)
-    jax.tree.take = None
-    float(np.asarray(out[-1] if isinstance(out, tuple) else out)[None][0])
-    t0 = time.time()
-    state = args
-    for _ in range(iters):
-        out = fn(*args)
-    float(np.asarray(out[-1] if isinstance(out, tuple) else out)[None][0])
-    return (time.time() - t0) / iters * 1000.0
-
-
 def main():
     from texttoaudiogrounding_tpu.losses import FrameBceLoss
     from texttoaudiogrounding_tpu.models import (BiEncoder, Cnn8Rnn,

@@ -47,10 +47,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _round_up(x: int, mult: int) -> int:
-    return -(-x // mult) * mult
-
-
 def fold_bn(scale, bias, mean, var, eps: float = 1e-5):
     """BN(running stats) as per-channel affine: ``y = x * a + b``."""
     a = scale / jnp.sqrt(var + eps)
