@@ -119,6 +119,18 @@ def test_int8_close(mel3):
     assert err < 0.05, err
 
 
+def test_int8_mixed_mel3_rejected():
+    """quantize + mel3=(False, True) would store unscaled floats into an
+    int8 y1 scratch — the API must reject it, not emit garbage."""
+    t, m, cin, cout, pool = CASES[1]
+    x, w1, ab1, w2, ab2, _ = _case(t, m, cin, cout, pool)
+    with pytest.raises(ValueError, match="mel3"):
+        fused_double_conv_pool(
+            jnp.asarray(x, jnp.bfloat16), jnp.asarray(w1), ab1,
+            jnp.asarray(w2), ab2, pool, quantize=True,
+            mel3=(False, True), interpret=True)
+
+
 def test_pick_tc_cnn8rnn_blocks():
     """The heuristic picks the empirically-validated chunk sizes for the
     10 s serving shapes (T=1001 -> blocks at T=500/250)."""

@@ -61,3 +61,12 @@ REFERENCE_TYPE_NAMES = [
 @pytest.mark.parametrize("name", REFERENCE_TYPE_NAMES)
 def test_reference_type_name_resolves(name):
     assert callable(resolve(name))
+
+
+def test_class_mapping_runner_registers_class():
+    """Regression: the @register decorator must sit on the runner class,
+    not the output transform defined above it (round-2 advisor finding)."""
+    import texttoaudiogrounding_tpu.training.runner_class_mapping as rcm
+
+    assert resolve("ClassMappingStrongRunner") is rcm.ClassMappingStrongRunner
+    assert isinstance(resolve("ClassMappingStrongRunner"), type)

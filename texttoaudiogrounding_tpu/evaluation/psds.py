@@ -311,6 +311,12 @@ def _file_count_curves_mc(score: np.ndarray, timestamps: np.ndarray,
     ground truths (summed det_precision >= cttc) — the psds_eval CTTC
     criterion (reference utils/eval_util.py:136-223 config surface).
 
+    Cost: O(U·N) per file-class (U = unique scores) — only used when a
+    cross-trigger term is active (cttc>0 AND alpha_ct!=0, i.e. the DESED
+    PSDS2 scenario); all other cases route through the
+    native-accelerated :func:`_file_count_curves`.  ``exact=False`` in
+    :func:`compute_psds_sed_scores` is the dense-grid escape hatch.
+
     Returns (taus_desc, tps, fps, {other: cts}).
     """
     from texttoaudiogrounding_tpu.evaluation.decode import \
@@ -391,9 +397,13 @@ def exact_psd_roc(scores: Dict[str, pd.DataFrame],
     in the limit of an infinitely fine grid, with no grid error.
     """
     total_duration = float(sum(durations.values()))
-    # gt per file per class + per-class totals
+    # class set = GT labels UNION score event columns: a class scored but
+    # absent from GT still contributes a TPR=0 curve with FP-driven eFPR
+    # (sed_scores_eval takes classes from the score frames)
     classes = sorted({label for evs in ground_truth.values()
-                      for *_, label in evs})
+                      for *_, label in evs}
+                     | {c for df in scores.values() for c in df.columns
+                        if c not in ("onset", "offset")})
     gt_by_fc = {fname: {} for fname in scores}
     num_gts = {c: 0 for c in classes}
     gt_dur = {c: 0.0 for c in classes}
@@ -414,10 +424,18 @@ def exact_psd_roc(scores: Dict[str, pd.DataFrame],
             score = df[cls].values
             timestamps = np.r_[df["onset"].values, df["offset"].values[-1]]
             by_c = gt_by_fc.get(fname, {})
-            taus, tps, fps, cts = _file_count_curves_mc(
-                score, timestamps, by_c.get(cls, []),
-                {c: by_c.get(c, []) for c in ct_all},
-                dtc_threshold, gtc_threshold, cttc_threshold)
+            if cttc_threshold == 0.0 or alpha_ct == 0.0:
+                # no cross-trigger term: the fast (native-accelerated)
+                # single-class change-point sweep is exact here
+                taus, tps, fps = _file_count_curves(
+                    score, timestamps, by_c.get(cls, []),
+                    dtc_threshold, gtc_threshold)
+                cts = {c: np.zeros(len(taus), np.int64) for c in ct_all}
+            else:
+                taus, tps, fps, cts = _file_count_curves_mc(
+                    score, timestamps, by_c.get(cls, []),
+                    {c: by_c.get(c, []) for c in ct_all},
+                    dtc_threshold, gtc_threshold, cttc_threshold)
             taus_all.append(taus)
             tp_all.append(tps)
             fp_all.append(fps)

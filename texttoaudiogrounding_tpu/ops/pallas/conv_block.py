@@ -310,9 +310,14 @@ def fused_double_conv_pool(x: jax.Array, w1: jax.Array, ab1: tuple,
     quantized).  Serving only (running BN stats, no dropout).
 
     ``mel3`` overrides the per-conv tap mode ``(conv1, conv2)``: True =
-    mel-im2col staging + 3 K=3C dots, False = 9 direct dots.  In int8
-    mode conv1 always uses mel3 (its input stays bf16; quantization
-    happens on the staged im2col with a per-chunk dynamic scale).
+    mel-im2col staging + 3 K=3C dots, False = 9 direct dots.  Default
+    routing: bf16 small-Cin uses ``(True, False)``, everything else
+    ``(False, False)``.  With ``quantize`` a mel3 conv quantizes its
+    staged im2col with a per-chunk dynamic scale; a direct9 int8 conv2
+    instead consumes an int8 ``y1`` quantized on store.  The combination
+    ``quantize=True, mel3=(False, True)`` is rejected: direct9 int8
+    conv1 emits an int8 ``y1`` whose scale the mel3 conv2 staging does
+    not model.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -323,6 +328,12 @@ def fused_double_conv_pool(x: jax.Array, w1: jax.Array, ab1: tuple,
     if mel3 is None:
         mel3 = (not quantize and cin < 128, False)
     mel3_1, mel3_2 = mel3
+    if quantize and mel3_2 and not mel3_1:
+        raise ValueError(
+            "quantize=True with mel3=(False, True) is unsupported: int8 "
+            "direct9 conv1 stores an int8 y1 whose dynamic scale the mel3 "
+            "conv2 staging path does not consume; use (False, False) or "
+            "(True, True)")
     in_dtype = compute_dtype
     q_dtype = jnp.int8 if quantize else compute_dtype
 

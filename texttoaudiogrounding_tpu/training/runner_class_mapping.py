@@ -35,7 +35,6 @@ def _mixup_lambdas(rng: np.ndarray, batch_size: int,
     return np.array(lams[:batch_size], np.float32)
 
 
-@register("ClassMappingStrongRunner")
 def mapping_strong_output_transform(output: dict, batch: dict) -> dict:
     """Merge batch supervision and truncate the padded ``strong_label``
     ``[N, T, C]`` to the model's frame count (reference run_strong.py:
@@ -58,6 +57,7 @@ def mapping_strong_output_transform(output: dict, batch: dict) -> dict:
     return merged
 
 
+@register("ClassMappingStrongRunner")
 class ClassMappingStrongRunner(StrongRunner):
     """Strong class-mapping training (MaskedFrameBceLoss family) + PSDS
     eval slicing the matched class channel."""
