@@ -120,6 +120,172 @@ def _kernel(rows_a, rows_b, real_ref, imag_ref, fb_ref, out_ref, acc_ref,
             jnp.maximum(acc_ref[:], amin))
 
 
+@functools.lru_cache(maxsize=8)
+def _v3_basis(cfg: LogMelConfig):
+    """(basis [n_fft, 2*F] real|imag merged, fb [F, n_mels]).
+
+    F = highest mel-active bin rounded up to 256 (zero-weight columns
+    beyond).  Unlike :func:`_trimmed_basis` there is NO row padding: the
+    shifted-framing kernel slices exactly ``n_fft`` basis rows, so the
+    DFT dots spend zero FLOPs on padding.
+    """
+    kernel = _dft_kernel(cfg)
+    n_freqs = cfg.n_freqs
+    fb_full = mel_filterbank(cfg)
+    hi = int(np.max(np.nonzero(fb_full.sum(axis=1))[0])) + 1
+    f_pad = _round_up(hi, 256)
+    m = min(f_pad, n_freqs)
+    basis = np.zeros((cfg.n_fft, 2 * f_pad), np.float32)
+    basis[:, :m] = kernel[:, :m]
+    basis[:, f_pad:f_pad + m] = kernel[:, n_freqs:n_freqs + m]
+    fb = np.zeros((f_pad, cfg.n_mels), np.float32)
+    fb[:m] = fb_full[:m]
+    return basis, fb
+
+
+def _v3_parts(cfg: LogMelConfig):
+    """Static DFT-part table for the shifted framing.
+
+    Frame ``t`` covers padded samples ``[t*hop - pad, t*hop - pad +
+    n_fft)``; with ``pad = n_fft//2`` and ``hop < pad <= 2*hop`` that is
+    rows ``t-2 .. t-2+J-1`` of the plain ``[R, hop]`` waveform reshape,
+    starting at lane ``lead = 2*hop - pad``.  Returns a list of
+    ``(lane_lo, lane_hi, basis_lo, basis_hi)`` per part — every slice
+    boundary is a multiple of 128 lanes or covers the full row.
+    """
+    hop, n_fft, pad = cfg.hop_length, cfg.n_fft, cfg.n_fft // 2
+    lead = 2 * hop - pad
+    parts = []
+    j = 0
+    while j * hop - lead < n_fft:
+        lo_s = max(0, j * hop - lead)
+        hi_s = min(n_fft, (j + 1) * hop - lead)
+        parts.append((lo_s - (j * hop - lead), hi_s - (j * hop - lead),
+                      lo_s, hi_s))
+        j += 1
+    return parts
+
+
+def _v3_supported(cfg: LogMelConfig) -> bool:
+    hop, pad = cfg.hop_length, cfg.n_fft // 2
+    if not (hop < pad <= 2 * hop) or cfg.n_fft % 8:
+        return False
+    # every partial-row lane slice must start on a 128-lane boundary and
+    # every basis row slice on a sublane boundary
+    return all(lo % 128 == 0 and blo % 8 == 0 and bhi % 8 == 0
+               for lo, hi, blo, bhi in _v3_parts(cfg))
+
+
+def _v3_kernel(rows_a, rows_b, rows_c, basis_ref, fb_ref, out_ref, *,
+               tile_r: int, hop: int, parts: tuple, f_pad: int,
+               amin: float):
+    """DFT (exact-K shifted dots) -> power -> mel (bf16 dot) -> dB."""
+    cat = jnp.concatenate([rows_a[0], rows_b[0], rows_c[0]], axis=0)
+    acc = jnp.zeros((tile_r, 2 * f_pad), jnp.float32)
+    for j, (lane_lo, lane_hi, b_lo, b_hi) in enumerate(parts):
+        part = cat[tile_r - 2 + j:2 * tile_r - 2 + j]
+        if lane_hi - lane_lo < hop:
+            part = part[:, lane_lo:lane_hi]
+        acc += jax.lax.dot_general(
+            part, basis_ref[b_lo:b_hi, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    power = acc[:, :f_pad] ** 2 + acc[:, f_pad:] ** 2
+    # bf16 mel projection (f32 accumulate): the f32 MXU dot here measures
+    # ~4x slower and dominates the kernel; bf16 rounding of the power
+    # spectrum adds < 0.05 dB before bn0 normalization
+    mel = jnp.dot(power.astype(jnp.bfloat16), fb_ref[:],
+                  preferred_element_type=jnp.float32)
+    out_ref[0] = (10.0 / np.log(10.0)) * jnp.log(jnp.maximum(mel, amin))
+
+
+def _xla_log_mel(waveform: jax.Array, cfg: LogMelConfig) -> jax.Array:
+    """Small-slice XLA reference path (edge-frame fix-up)."""
+    from texttoaudiogrounding_tpu.ops import frontend as _f
+
+    power = _f.power_spectrogram(waveform, cfg)
+    fb = jnp.asarray(mel_filterbank(cfg))
+    mel = jnp.einsum("btf,fm->btm", power, fb)
+    return (10.0 / np.log(10.0)) * jnp.log(jnp.maximum(mel, cfg.amin))
+
+
+def fused_log_mel_spectrogram_v3(waveform: jax.Array,
+                                 cfg: LogMelConfig,
+                                 tile_r: int = 256,
+                                 interpret: bool = False) -> jax.Array:
+    """``[B, N] -> [B, T, n_mels]``, shifted-basis fused kernel.
+
+    v3 of the fused frontend: the waveform is reshaped ``[B, R, hop]``
+    with NO reflect-pad copy (the center-pad lane offset is absorbed
+    into zero-padded basis slices), the DFT dots contract exactly
+    ``n_fft`` rows (v2 wasted 25% on hop-rounding zeros), and the mel
+    projection runs as a bf16 MXU dot.  The four frames per clip whose
+    window touches the reflect padding are recomputed by the exact XLA
+    path and spliced in.  Reference semantics:
+    models/audio_encoder.py:107-124 (torchaudio MelSpectrogram center
+    padding, pad_mode="reflect").
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    hop = cfg.hop_length
+    n_fft = cfg.n_fft
+    pad = n_fft // 2
+    b, n = waveform.shape
+    t_frames = num_frames(n, hop)
+    parts = tuple(_v3_parts(cfg))
+    j_parts = len(parts)
+
+    r_out = _round_up(t_frames, tile_r)
+    k_tiles = r_out // tile_r
+    # input rows: row u is read for frames u+2-j ... ; max needed row is
+    # t_frames; pad rows (zeros) cover the tail, edge frames are fixed up
+    need_rows = (k_tiles + 1) * tile_r
+    x = waveform.astype(jnp.bfloat16)
+    x = jnp.pad(x, ((0, 0), (0, need_rows * hop - n)))
+    rows = x.reshape(b, need_rows, hop)
+
+    basis, fb = _v3_basis(cfg)
+    f_pad = fb.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(_v3_kernel, tile_r=tile_r, hop=hop, parts=parts,
+                          f_pad=f_pad, amin=cfg.amin),
+        grid=(b, k_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile_r, hop),
+                         lambda bi, ki: (bi, jnp.maximum(ki - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r, hop), lambda bi, ki: (bi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r, hop), lambda bi, ki: (bi, ki + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(basis.shape, lambda bi, ki: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(fb.shape, lambda bi, ki: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_r, cfg.n_mels),
+                               lambda bi, ki: (bi, ki, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r_out, cfg.n_mels),
+                                       jnp.float32),
+        interpret=interpret,
+    )(rows, rows, rows,
+      jnp.asarray(basis, jnp.bfloat16),
+      jnp.asarray(fb, jnp.bfloat16))
+
+    # ---- edge fix-up: frames whose window touches the reflect padding
+    t_lo = -(-pad // hop)                                   # first clean
+    t_hi = (n + pad - n_fft) // hop + 1                     # first dirty
+    left = _xla_log_mel(waveform[:, :(t_lo + 1) * hop + n_fft],
+                        cfg)[:, :t_lo]
+    s0 = (t_hi - t_lo) * hop
+    right = _xla_log_mel(waveform[:, s0:], cfg)[:, t_lo:]
+    right = right[:, :t_frames - t_hi]
+    mid = out[:, t_lo:t_hi]
+    return jnp.concatenate([left, mid, right], axis=1)
+
+
 def fused_log_mel_spectrogram(waveform: jax.Array, cfg: LogMelConfig,
                               tile_r: int = 512) -> jax.Array:
     """``[B, N] -> [B, T, n_mels]`` log-mel via the fused Pallas kernel.
