@@ -79,3 +79,23 @@ def test_jit_and_grad():
 
     g = jax.grad(f)(wav)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_golden_torch_stft():
+    """Committed golden fixtures pin the frontend to the TORCH STFT
+    stack (float64 torch.stft + reflect center padding + slaney mels —
+    the exact pipeline torchaudio's MelSpectrogram executes), closing
+    the round-2 'self-consistency only' gap.  Regenerate with
+    scripts/gen_frontend_golden.py (provenance documented there)."""
+    import pathlib
+
+    fix = np.load(pathlib.Path(__file__).parent / "fixtures"
+                  / "frontend_golden.npz")
+    for name, cfg in (("cnn8rnn", cnn8rnn_mel_config(32000)),
+                      ("cdur", cdur_mel_config(32000))):
+        wav = jnp.asarray(fix[f"{name}_wav"])
+        want = fix[f"{name}_logmel"]
+        got = np.asarray(log_mel_spectrogram(wav, cfg, use_pallas=False))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-4, rtol=0,
+                                   err_msg=name)

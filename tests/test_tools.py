@@ -247,3 +247,74 @@ def test_calc_phrase_sim_count(tmp_path):
     got = json.load(open(tmp_path / "out.json"))
     # dog phrases are mutually similar (cos≈0.99), water is orthogonal
     assert got == {"a dog barks": 8, "dog barking": 8, "water runs": 7}
+
+
+def test_greedy_bertscore_identity_and_orthogonal():
+    from texttoaudiogrounding_tpu.tools.score_backends import (
+        greedy_bertscore)
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(5, 8))
+    mask = np.array([False, True, True, True, False])  # specials stripped
+    p, r, f1 = greedy_bertscore(emb, mask, emb, mask)
+    assert p == pytest.approx(1.0) and f1 == pytest.approx(1.0)
+    # orthogonal tokens -> low score
+    other = np.concatenate([np.zeros((5, 8)), rng.normal(size=(5, 8))],
+                           axis=1)
+    this = np.concatenate([rng.normal(size=(5, 8)), np.zeros((5, 8))],
+                          axis=1)
+    _, _, f1o = greedy_bertscore(this, mask, other, mask)
+    assert f1o < 0.2
+
+
+def test_bertscore_matrix_picks_shared_word_label():
+    """With a bag-of-words encoder, the label sharing tokens with the
+    phrase must win the argmax (the mapping semantics the reference
+    gets from bert_score)."""
+    from texttoaudiogrounding_tpu.tools.score_backends import (
+        bertscore_matrix)
+
+    vocab = {}
+    rng = np.random.default_rng(1)
+
+    def encode(texts):
+        ln = max(len(t.split()) for t in texts) + 2
+        emb = np.zeros((len(texts), ln, 16))
+        mask = np.zeros((len(texts), ln), bool)
+        for i, t in enumerate(texts):
+            for j, w in enumerate(t.split()):
+                if w not in vocab:
+                    vocab[w] = rng.normal(size=16)
+                emb[i, j + 1] = vocab[w]
+                mask[i, j + 1] = True
+        return emb, mask
+
+    phrases = ["a dog barks loudly", "water is running"]
+    labels = ["dog", "water", "speech"]
+    mat = bertscore_matrix(phrases, labels, encode)
+    assert mat.shape == (2, 3)
+    assert mat[0].argmax() == 0 and mat[1].argmax() == 1
+
+
+def test_prepare_phrase_mapping_cli(tmp_path):
+    """End-to-end TSV output in the reference prepare_phrase_bertscore
+    format, both backends, over the native tower (random weights)."""
+    import json
+
+    import pandas as pd
+
+    from texttoaudiogrounding_tpu.tools.score_backends import (
+        prepare_phrase_mapping)
+
+    data = [{"audio_id": "a", "phrases": [{"phrase": "a dog barks"},
+                                          {"phrase": "water running"}]}]
+    json.dump(data, open(tmp_path / "label.json", "w"))
+    json.dump(["dog", "water"], open(tmp_path / "labels.json", "w"))
+    for backend in ("bertscore", "bleurt"):
+        out = tmp_path / f"{backend}.tsv"
+        prepare_phrase_mapping(str(tmp_path / "label.json"), str(out),
+                               str(tmp_path / "labels.json"),
+                               backend=backend)
+        df = pd.read_csv(out, sep="\t")
+        assert list(df.columns) == ["phrase", "index", "sim"]
+        assert len(df) == 2 and df["index"].isin([0, 1]).all()

@@ -1,9 +1,12 @@
 """Phrase → AudioSet event-label mapping by embedding similarity.
 
 Reference: utils/data/map_phrase_to_event.py + create_phrase_event_mapping/
-(cosine similarity of phrase embeddings to class-label embeddings; the
-bleurt/bertscore variants require external models not present in this
-image and are exposed as the same interface with the cosine backend).
+(cosine similarity of phrase embeddings to class-label embeddings).
+The bertscore/bleurt mapping backends of the reference's
+prepare_phrase_bertscore.py / prepare_phrase_bleurt.py live in
+:mod:`texttoaudiogrounding_tpu.tools.score_backends` (native greedy
+token-cosine matching / BLEURT-head scoring over the flax text tower,
+same TSV output contract); only their pretrained weights are external.
 """
 
 from __future__ import annotations
