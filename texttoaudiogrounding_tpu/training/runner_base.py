@@ -23,9 +23,11 @@ import yaml
 from texttoaudiogrounding_tpu.parallel.mesh import (
     batch_sharding,
     get_mesh,
+    mesh_from_config,
     pad_batch_to_multiple,
     replicate,
     shard_batch,
+    tree_shardings,
 )
 from texttoaudiogrounding_tpu.training.optim import (
     MetricImprover,
@@ -193,14 +195,19 @@ class BaseRunner:
                 opt_state=opt_state, step=state.step + 1)
             return new_state, loss
 
-        # state/rng replicated; the batch keeps the sharding shard_batch
-        # gave it (P("data") for divisible leaves, replicated for ragged
-        # ones), so it is left unconstrained here.  GSPMD inserts the
-        # gradient all-reduce over the data axis.
+        # state sharded per ``parallel.rules`` (replicated by default);
+        # the batch keeps the sharding shard_batch gave it (P("data")
+        # for divisible leaves, replicated for ragged ones), so it is
+        # left unconstrained here.  GSPMD inserts the gradient
+        # all-reduce over the data axis and the tensor-parallel
+        # collectives implied by the rule shardings.
         del data
+        state_sh = getattr(self, "_state_sh", None)
+        if state_sh is None:
+            state_sh = rep
         return jax.jit(train_step, donate_argnums=(0,),
-                       in_shardings=(rep, None, rep),
-                       out_shardings=(rep, rep))
+                       in_shardings=(state_sh, None, rep),
+                       out_shardings=(state_sh, rep))
 
     def make_val_step(self, model, loss_fn, output_transform: Callable):
         mesh = self.mesh
@@ -216,7 +223,10 @@ class BaseRunner:
             return loss_fn(output)
 
         del data
-        return jax.jit(val_step, in_shardings=(rep, None),
+        state_sh = getattr(self, "_state_sh", None)
+        if state_sh is None:
+            state_sh = rep
+        return jax.jit(val_step, in_shardings=(state_sh, None),
                        out_shardings=rep)
 
     def make_forward(self, model):
@@ -242,8 +252,27 @@ class BaseRunner:
                                                  **kwargs)
         self.config.setdefault("seed", 1)
         np.random.seed(self.config["seed"])
-        self.mesh = get_mesh()
+        # config-reachable dp x tp: ``parallel: {mesh: {data: N,
+        # model: M}, rules: [{match: [...], spec: [...]}]}`` — absent,
+        # the default 1-D data mesh keeps every recipe single-device
+        # compatible
+        self.mesh = mesh_from_config(self.config.get("parallel"))
         return self.config
+
+    def state_shardings(self, state: TrainState):
+        """TrainState-shaped shardings: params and optimizer state
+        follow ``parallel.rules`` (optax's mu/nu mirror the param tree,
+        so the same path rules shard them identically); batch_stats and
+        step stay replicated."""
+        rules = self.config.get("parallel", {}).get("rules")
+        rep = replicate(self.mesh)
+        if not rules:
+            return jax.tree.map(lambda _: rep, state)
+        return TrainState(
+            params=tree_shardings(state.params, self.mesh, rules),
+            batch_stats=jax.tree.map(lambda _: rep, state.batch_stats),
+            opt_state=tree_shardings(state.opt_state, self.mesh, rules),
+            step=rep)
 
     def prepare_experiment(self) -> Path:
         exp_dir = Path(self.config["experiment_path"])
@@ -298,7 +327,11 @@ class BaseRunner:
                 metric_improver.load_state_dict(
                     resume_meta.get("metric_monitor",
                                     metric_improver.state_dict()))
-        state = jax.device_put(state, replicate(self.mesh))
+        self._state_sh = self.state_shardings(state) \
+            if self.config.get("parallel", {}).get("rules") else None
+        state = jax.device_put(
+            state, self._state_sh if self._state_sh is not None
+            else replicate(self.mesh))
 
         if self.config.get("trainer", {}).get("debug_nans"):
             jax.config.update("jax_debug_nans", True)
