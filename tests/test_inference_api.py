@@ -94,3 +94,34 @@ def test_predict_shape_bucketing(experiment, rng):
         audio = rng.normal(size=(1, n)).astype(np.float32)
         probs = predictor.predict(audio, [n], ["dog barking"])
         assert np.isfinite(probs).all()
+
+
+def test_export_deployment_roundtrip(experiment, rng, tmp_path):
+    """Export → standalone dir → load WITHOUT the experiment tree →
+    identical predictions (the reference's trust_remote_code artifact
+    equivalent: deploy.json + weights.npz + vocabulary)."""
+    import shutil
+
+    from texttoaudiogrounding_tpu.deployment import (
+        export_deployment,
+        predictor_from_deployment,
+    )
+    from texttoaudiogrounding_tpu.inference import GroundingPredictor
+
+    out = export_deployment(str(experiment), str(tmp_path / "deploy"))
+    assert (out / "deploy.json").exists()
+    assert (out / "weights.npz").exists()
+    assert (out / "vocabulary.pkl").exists()
+
+    # move the artifact elsewhere: it must be fully self-contained
+    moved = tmp_path / "moved"
+    shutil.move(str(out), str(moved))
+
+    ref = GroundingPredictor.from_experiment(str(experiment))
+    dep = predictor_from_deployment(str(moved))
+    audio = (rng.normal(size=(2, 48000)) * 0.1).astype(np.float32)
+    lens = np.array([48000, 32000])
+    text = ["a dog barks", "water"]
+    a = ref.predict(audio, lens, text)
+    b = dep.predict(audio, lens, text)
+    np.testing.assert_allclose(a, b, atol=1e-6)

@@ -77,6 +77,15 @@ def main(argv=None):
                              audio=args.audio, phrase=args.phrase,
                              output=args.output)
 
+    if args.runner == "export":
+        # export <experiment_path> to a standalone deployment dir:
+        #   ... export --experiment_path EXP --output OUT [which]
+        from texttoaudiogrounding_tpu.deployment import export_deployment
+        out = export_deployment(args.experiment_path, args.output,
+                                which=args.command or "best")
+        print(f"exported deployment -> {out}")
+        return out
+
     if args.runner == "evaluate_desed":
         # zero-shot SED (reference python_scripts/evaluation/
         # evaluate_on_desed.py); overrides: wav=... gt=... duration=...

@@ -1,0 +1,139 @@
+"""Standalone deployment artifacts: export a trained experiment into a
+self-contained directory and load it back without the experiment tree.
+
+Reference parity: the reference publishes its model as a
+``trust_remote_code`` HF artifact — a self-contained config + weights
+package whose forward is ``model(audio, audio_len, text) -> frame
+probabilities`` (models/hf_modeling_grounding.py:305-352).  The native
+equivalent here is a directory::
+
+    deploy_dir/
+      deploy.json     # model spec + tokenizer spec + inference params
+      weights.npz     # flat param/batch-stat arrays (no orbax tree)
+      vocabulary.pkl  # (DictTokenizer only) the vocabulary payload
+
+which :meth:`GroundingPredictor.from_deployment` reconstructs with zero
+references to the training experiment (configs, checkpoints, data
+paths).  The import direction (HF torch checkpoint -> native) lives in
+training/torch_import.py.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+
+
+def _flatten(tree: dict, prefix: str = "") -> dict:
+    out = {}
+    for key, value in tree.items():
+        path = f"{prefix}/{key}" if prefix else str(key)
+        if isinstance(value, dict):
+            out.update(_flatten(value, path))
+        else:
+            out[path] = np.asarray(value)
+    return out
+
+
+def _unflatten(flat: dict) -> dict:
+    tree: dict = {}
+    for path, value in flat.items():
+        parts = path.split("/")
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def export_deployment(experiment_path: str, output_dir: str,
+                      which: str = "best") -> Path:
+    """Pack a trained experiment into a standalone deployment dir."""
+    from texttoaudiogrounding_tpu.inference import GroundingPredictor
+    from texttoaudiogrounding_tpu.utils.config import \
+        parse_config_or_kwargs
+
+    exp_dir = Path(experiment_path)
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    config = parse_config_or_kwargs(exp_dir / "config.yaml")
+
+    # resolve the checkpoint through the predictor loader (handles
+    # trainable-only checkpoints by merging over a fresh init)
+    predictor = GroundingPredictor.from_experiment(experiment_path,
+                                                   which=which)
+    flat = {}
+    for collection, tree in predictor.variables.items():
+        flat.update(_flatten(tree, collection))
+    np.savez_compressed(out / "weights.npz", **flat)
+
+    tok_cfg = config["data"]["train"]["collate_fn"]["args"]["tokenizer"]
+    tok_cfg = json.loads(json.dumps(tok_cfg))  # deep copy, plain types
+    vocab = tok_cfg.get("args", {}).get("vocabulary")
+    if vocab:
+        shutil.copy(vocab, out / "vocabulary.pkl")
+        tok_cfg["args"]["vocabulary"] = "vocabulary.pkl"
+
+    deploy = {
+        "model": config["model"],
+        "tokenizer": tok_cfg,
+        "time_resolution": predictor.time_resolution,
+        "audio_bucket": predictor.audio_bucket,
+        "text_bucket": predictor.text_bucket,
+        "sample_rate": config["model"].get("audio_encoder", {})
+                             .get("args", {}).get("sample_rate", 32000),
+    }
+    with open(out / "deploy.json", "w") as f:
+        json.dump(deploy, f, indent=2)
+    return out
+
+
+def load_deployment(deploy_dir: str):
+    """Rebuild (model, variables, tokenizer, meta) from a deployment
+    directory — no experiment tree, no checkpoint machinery."""
+    from texttoaudiogrounding_tpu.utils.registry import instantiate
+
+    root = Path(deploy_dir)
+    deploy = json.load(open(root / "deploy.json"))
+    model = instantiate(deploy["model"])
+    with np.load(root / "weights.npz") as z:
+        flat = {k: z[k] for k in z.files}
+    variables = _unflatten(flat)
+
+    tok_cfg = json.loads(json.dumps(deploy["tokenizer"]))
+    vocab = tok_cfg.get("args", {}).get("vocabulary")
+    if vocab and not Path(vocab).is_absolute():
+        tok_cfg["args"]["vocabulary"] = str(root / vocab)
+    tokenizer = instantiate(tok_cfg)
+    return model, variables, tokenizer, deploy
+
+
+def predictor_from_deployment(deploy_dir: str):
+    from texttoaudiogrounding_tpu.inference import GroundingPredictor
+
+    model, variables, tokenizer, deploy = load_deployment(deploy_dir)
+    return GroundingPredictor(
+        model, variables, tokenizer,
+        time_resolution=deploy.get("time_resolution", 0.04),
+        audio_bucket=deploy.get("audio_bucket", 32000),
+        text_bucket=deploy.get("text_bucket", 4))
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("experiment_path")
+    ap.add_argument("output_dir")
+    ap.add_argument("--which", default="best")
+    args = ap.parse_args(argv)
+    out = export_deployment(args.experiment_path, args.output_dir,
+                            args.which)
+    print(f"exported deployment -> {out}")
+
+
+if __name__ == "__main__":
+    main()
