@@ -364,3 +364,61 @@ def test_exact_multiclass_psd_roc_matches_dense_grid(rng):
     routed = compute_psds_sed_scores(
         scores, gt, dur_df, {f: f for f in scores}, **kw)
     assert routed == pytest.approx(exact)
+
+
+def test_psds_cttc_hand_case():
+    """Fully hand-derived CTTC scenario (psds_eval semantics).
+
+    File of 100 s; GT: A=(0,10), B=(50,60).  Dets for A: (0,10) — DTC
+    valid, covers A's GT -> TP; (50,58) — fails DTC (precision 0 vs A),
+    cross-trigger-matches B (8/8 >= cttc 0.3) -> FP + 1 CT.  Hence
+    TPR_A=1, FPR_A=1/100s=36/h, CTR_{A,B}=1/10s=360/h, eFPR_A=36+0.5*360
+    =216; class B has no dets.  With alpha_st=0, max_efpr=400:
+    mu=0.5 over [216,400) -> PSDS = 0.5*(400-216)/400 = 0.23.
+    """
+    gt = pd.DataFrame([
+        {"filename": "f", "onset": 0.0, "offset": 10.0,
+         "event_label": "A"},
+        {"filename": "f", "onset": 50.0, "offset": 60.0,
+         "event_label": "B"},
+    ])
+    meta = pd.DataFrame([{"filename": "f", "duration": 100.0}])
+    ev = PSDSEvaluator(gt, meta, dtc_threshold=0.5, gtc_threshold=0.5,
+                       cttc_threshold=0.3)
+    det = pd.DataFrame([
+        {"filename": "f", "onset": 0.0, "offset": 10.0,
+         "event_label": "A"},
+        {"filename": "f", "onset": 50.0, "offset": 58.0,
+         "event_label": "A"},
+    ])
+    ev.add_operating_point(det)
+    st = ev.operating_points[0]["per_class"]["A"]
+    assert st["tpr"] == pytest.approx(1.0)
+    assert st["fpr"] == pytest.approx(36.0)
+    assert st["ctr"] == pytest.approx(360.0)
+    value, _roc = ev.psds(alpha_ct=0.5, alpha_st=0.0, max_efpr=400)
+    assert value == pytest.approx(0.23, abs=1e-6)
+
+
+def test_exact_sweep_hand_case():
+    """Hand-derived threshold-free single-class sweep: 4 one-second
+    frames scored [0.9, 0.2, 0.9, 0.1], GT (0,1).  tau=0.9: dets (0,1)
+    TP + (2,3) FP; tau<=0.2: one merged det failing DTC (FP only).
+    Best point (eFPR=900/h, TPR=1) -> PSDS@1000 = (1000-900)/1000.
+    """
+    from texttoaudiogrounding_tpu.evaluation.psds import (
+        exact_single_class_psd_roc,
+    )
+
+    scores = {"f": pd.DataFrame({
+        "onset": [0.0, 1.0, 2.0, 3.0],
+        "offset": [1.0, 2.0, 3.0, 4.0],
+        "fake_event": [0.9, 0.2, 0.9, 0.1]})}
+    gt = {"f": [(0.0, 1.0, "fake_event")]}
+    value, (tpr, efpr) = exact_single_class_psd_roc(
+        scores, gt, {"f": 4.0}, dtc_threshold=0.5, gtc_threshold=0.5,
+        max_efpr=1000.0)
+    assert value == pytest.approx(0.1, abs=1e-9)
+    # the operating points themselves
+    pts = sorted(zip(efpr.tolist(), tpr.tolist()))
+    assert (900.0, 1.0) in pts
