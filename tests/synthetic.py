@@ -67,7 +67,9 @@ def make_grounding_data(root: Path, num_audio: int = 8,
                     "end_index": len(tokens) - 1,
                     "segments": [[round(seg_on, 3), round(seg_off, 3)]],
                 })
-            hf[audio_id] = wav
+            # f16 like the production packer (tools/pack_waveform.py) so
+            # runner tests exercise the f16 wire path end-to-end
+            hf[audio_id] = wav.astype(np.float16)
             label.append({
                 "audiocap_id": 10000 + i,
                 "audio_id": audio_id,

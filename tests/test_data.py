@@ -66,7 +66,9 @@ def test_strong_dataset_and_label_raster(data_dir):
                             str(data_dir["label"]),
                             time_resolution=0.04)
     item = ds[0]
-    assert item["waveform"].dtype == np.float32
+    # f16-packed HDF5 stays f16 on the wire (datasets._as_wire);
+    # upcast happens on device inside the jitted step
+    assert item["waveform"].dtype == np.float16
     # 2 s audio at 0.04 s resolution → floor(2/0.04)+1 = 51 frames
     assert item["label"].shape == (51,)
     seg = json.load(open(data_dir["label"]))[0]["phrases"][0]["segments"][0]
@@ -186,3 +188,48 @@ def test_fix_neg_cache(wstag_dir):
     first = ds[0]["phrases"]
     second = ds[0]["phrases"]
     assert first == second  # cached negatives stay fixed
+
+
+def test_f16_wire_and_device_feed(data_dir):
+    """f16 wire format: the dataset keeps HDF5 float16 through collate,
+    array_batch passes it through, upcast_wire upcasts bit-identically
+    to a host-side upcast; device_feed yields batches in order and
+    propagates worker exceptions."""
+    from texttoaudiogrounding_tpu.parallel.mesh import device_feed, get_mesh
+    from texttoaudiogrounding_tpu.training.runner_base import (array_batch,
+                                                               upcast_wire)
+    tok = DictTokenizer(data_dir["vocab"])
+    ds = AudioPhraseDataset(str(data_dir["wav_csv"]), str(data_dir["label"]),
+                            time_resolution=0.04)
+    collate = TextCollate(tokenizer=tok, text_key="phrase",
+                          pad_keys=["waveform", "label"],
+                          pad_buckets={"waveform": 32000})
+    loader = DataLoader(ds, batch_size=2, collate_fn=collate)
+    batches = list(loader)
+    arr = array_batch(batches[0])
+    assert arr["waveform"].dtype == np.float16
+    up = upcast_wire(arr)
+    assert up["waveform"].dtype == np.float32
+    np.testing.assert_array_equal(up["waveform"],
+                                  arr["waveform"].astype(np.float32))
+
+    mesh = get_mesh()
+    n_dev = mesh.devices.size
+    fed = list(device_feed(iter(batches), mesh, n_dev,
+                           prepare=array_batch))
+    assert len(fed) == len(batches)
+    for (dev, host, real_bs), src in zip(fed, batches):
+        assert real_bs == src["waveform"].shape[0]
+        assert host is src
+        assert dev["waveform"].shape[0] % n_dev == 0
+        got = np.asarray(dev["waveform"])[:real_bs]
+        np.testing.assert_array_equal(got, src["waveform"])
+
+    def boom():
+        yield batches[0]
+        raise RuntimeError("loader died")
+
+    it = device_feed(boom(), mesh, n_dev, prepare=array_batch)
+    next(it)
+    with pytest.raises(RuntimeError, match="loader died"):
+        next(it)

@@ -40,6 +40,19 @@ class Dataset:
         raise NotImplementedError
 
 
+def _as_wire(waveform) -> np.ndarray:
+    """Keep float16-packed waveforms (tools/pack_waveform.py stores f16,
+    mirroring reference utils/data/prepare_wav_csv.py's packed HDF5) in
+    their storage dtype through collate and host→device transfer — this
+    halves host memcpy and wire bytes; the jitted steps upcast on device
+    (runner_base.upcast_wire), so values are bit-identical to a host-side
+    upcast.  Anything else (raw wav float64, int PCM) normalizes to f32."""
+    arr = np.asarray(waveform)
+    if arr.dtype == np.float16:
+        return arr
+    return arr.astype(np.float32, copy=False)
+
+
 def _load_label(label) -> list:
     if isinstance(label, list) and label and isinstance(label[0], str):
         data = []
@@ -85,7 +98,7 @@ class AudioPhraseEvalDataset(Dataset):
             "audiocap_id": audio_item["audiocap_id"],
             "start_index": phrase_item["start_index"],
             "end_index": phrase_item["end_index"],
-            "waveform": np.asarray(waveform, dtype=np.float32),
+            "waveform": _as_wire(waveform),
             "phrase": phrase_item["phrase"],
             "caption": audio_item["tokens"],
         }
@@ -399,7 +412,7 @@ class AudioCaptionPhrasesEvalDataset(Dataset):
                                 self.aid_to_h5[item["audio_id"]], self.cache)
         return {
             "audiocap_id": item["audiocap_id"],
-            "waveform": np.asarray(waveform, dtype=np.float32),
+            "waveform": _as_wire(waveform),
             "phrases": [phrase_item["phrase"]],
             "start_index": phrase_item["start_index"],
             "end_index": phrase_item["end_index"],
@@ -436,7 +449,7 @@ class AudioCaptionPhrasesDataset(Dataset):
                    if len(p["phrase"].split()) <= self.max_phrase_words]
         return {
             "audiocap_id": item["audiocap_id"],
-            "waveform": np.asarray(waveform, dtype=np.float32),
+            "waveform": _as_wire(waveform),
             "phrases": phrases,
         }
 
@@ -466,7 +479,7 @@ class SinglePhraseEvalDataset(Dataset):
                                 self.aid_to_h5[item["audio_id"]], self.cache)
         return {
             "audiocap_id": item["audiocap_id"],
-            "waveform": np.asarray(waveform, dtype=np.float32),
+            "waveform": _as_wire(waveform),
             "phrase": [phrase_item["phrase"]],
             "start_index": phrase_item["start_index"],
             "end_index": phrase_item["end_index"],
@@ -500,7 +513,7 @@ class AudioCaptionDataset(Dataset):
         item = self.data[index]
         waveform = read_from_h5(item["audio_id"],
                                 self.aid_to_h5[item["audio_id"]], self.cache)
-        waveform = np.asarray(waveform, dtype=np.float32)
+        waveform = _as_wire(waveform)
         if (self.max_audio_len is not None
                 and waveform.shape[0] > self.max_audio_len):
             start = int(self.rng.integers(

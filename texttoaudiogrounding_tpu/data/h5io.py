@@ -83,4 +83,8 @@ class AudioReadMixin:
             waveform = read_from_h5(audio_id, file_path, self.h5_cache)
         else:
             waveform = load_wav(file_path, self.sample_rate)
-        return np.asarray(waveform, dtype=np.float32)
+        # f16-packed HDF5 stays f16 on the wire (see datasets._as_wire)
+        arr = np.asarray(waveform)
+        if arr.dtype == np.float16:
+            return arr
+        return arr.astype(np.float32, copy=False)

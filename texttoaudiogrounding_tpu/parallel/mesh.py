@@ -13,7 +13,9 @@ Multi-host: each process feeds its local shard;
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional, Sequence
 
 import jax
 import numpy as np
@@ -183,3 +185,47 @@ def pad_batch_to_multiple(batch: dict, multiple: int) -> tuple[dict, int]:
         else:
             out[key] = value
     return out, b
+
+
+def device_feed(batches: Iterable, mesh: Mesh, multiple: int,
+                prepare: Optional[Callable] = None,
+                depth: int = 2) -> Iterator[tuple[dict, dict, int]]:
+    """Asynchronous host→device feed pipeline.
+
+    A background thread prepares (``prepare``, default identity →
+    pad → ``shard_batch``/``global_batch_from_local``) and device-puts
+    up to ``depth`` batches ahead, so the H2D transfer of batch j+1
+    overlaps the accelerator compute of batch j.  ``jax.device_put``
+    is thread-safe and enqueues an async copy; consuming the queue
+    yields ``(device_batch, host_batch, real_batch_size)`` in order.
+
+    The reference relies on torch DataLoader pinned-memory prefetch for
+    the same overlap (SURVEY §2 data pipeline); on TPU the transfer
+    rides the PCIe/host link and this pipeline hides it behind the step.
+    Exceptions in the worker re-raise at the consuming ``next()``.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    sentinel = object()
+
+    def worker():
+        try:
+            for host_batch in batches:
+                arr = prepare(host_batch) if prepare else host_batch
+                arr, real_bs = pad_batch_to_multiple(arr, multiple)
+                dev = global_batch_from_local(arr, mesh)
+                q.put((dev, host_batch, real_bs))
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            q.put(exc)
+            return
+        q.put(sentinel)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    thread.join()

@@ -16,12 +16,14 @@ from pathlib import Path
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 import yaml
 
 from texttoaudiogrounding_tpu.parallel.mesh import (
     batch_sharding,
+    device_feed,
     get_mesh,
     mesh_from_config,
     pad_batch_to_multiple,
@@ -66,18 +68,34 @@ def init_logger(filename: Path, level: str = "INFO") -> logging.Logger:
 
 def array_batch(batch: dict) -> dict:
     """Keep jit-compatible leaves and normalize dtypes (reference forward
-    casting, run_strong.py:92-99: text → long, everything else → float)."""
+    casting, run_strong.py:92-99: text → long, everything else → float).
+
+    float16 leaves (the f16 waveform wire format, datasets._as_wire) are
+    passed through — the jitted steps upcast on device (``upcast_wire``),
+    halving host→device bytes with bit-identical results."""
     out = {}
     for key, value in batch.items():
         if not isinstance(value, np.ndarray) or value.dtype == object:
             continue
         if value.dtype in (np.int64, np.int32, np.bool_):
             out[key] = value.astype(np.int32)
+        elif value.dtype == np.float16:
+            out[key] = value
         elif np.issubdtype(value.dtype, np.floating):
             out[key] = value.astype(np.float32)
         else:
             out[key] = value
     return out
+
+
+def upcast_wire(batch: dict) -> dict:
+    """Upcast f16 wire-format leaves to f32; inside jit this is on-device
+    and fused into the first consumer by XLA.  Works on NumPy batches too
+    (used before ``model.init``)."""
+    return {k: (v.astype(jnp.float32)
+                if getattr(v, "dtype", None) in (jnp.float16, np.float16)
+                else v)
+            for k, v in batch.items()}
 
 
 class BaseRunner:
@@ -115,7 +133,8 @@ class BaseRunner:
 
     def init_state(self, model, sample_batch: dict) -> TrainState:
         rng = jax.random.PRNGKey(self.config.get("seed", 1))
-        variables = model.init({"params": rng}, array_batch(sample_batch),
+        variables = model.init({"params": rng},
+                               upcast_wire(array_batch(sample_batch)),
                                train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
@@ -154,6 +173,7 @@ class BaseRunner:
         data = batch_sharding(mesh)
 
         def train_step(state: TrainState, batch: dict, rng):
+            batch = upcast_wire(batch)
             step_rng = jax.random.fold_in(rng, state.step)
             rngs = {"dropout": step_rng,
                     "specaug": jax.random.fold_in(step_rng, 1)}
@@ -215,6 +235,7 @@ class BaseRunner:
         data = batch_sharding(mesh)
 
         def val_step(state: TrainState, batch: dict):
+            batch = upcast_wire(batch)
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
@@ -235,6 +256,7 @@ class BaseRunner:
         data = batch_sharding(mesh)
 
         def forward(state: TrainState, batch: dict):
+            batch = upcast_wire(batch)
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
@@ -367,18 +389,24 @@ class BaseRunner:
             t0 = time.time()
             meter.reset()
             steps = epoch_length or len(train_loader)
-            for _ in range(steps):
-                try:
-                    batch = next(train_iter)
-                except StopIteration:
-                    train_iter = iter(train_loader)
-                    batch = next(train_iter)
+
+            def epoch_batches():
+                nonlocal train_iter
+                for _ in range(steps):
+                    try:
+                        yield next(train_iter)
+                    except StopIteration:
+                        train_iter = iter(train_loader)
+                        yield next(train_iter)
+
+            # async H2D pipeline: the device-put of batch j+1 overlaps
+            # the train step of batch j (device_feed docstring)
+            for batch, _, real_bs in device_feed(
+                    epoch_batches(), self.mesh, n_dev,
+                    prepare=array_batch):
                 if lr_update_interval == "iteration" and callable(scheduler):
                     state = state.replace(opt_state=set_learning_rate(
                         state.opt_state, scheduler(iteration)))
-                batch = array_batch(batch)
-                batch, real_bs = pad_batch_to_multiple(batch, n_dev)
-                batch = shard_batch(batch, self.mesh)
                 profiler.step(iteration)
                 state, loss = train_step(state, batch, rng)
                 losses.append(loss)
@@ -389,10 +417,8 @@ class BaseRunner:
             throughput = meter.summary()
 
             val_losses = []
-            for batch in val_loader:
-                batch = array_batch(batch)
-                batch, _ = pad_batch_to_multiple(batch, n_dev)
-                batch = shard_batch(batch, self.mesh)
+            for batch, _, _ in device_feed(iter(val_loader), self.mesh,
+                                           n_dev, prepare=array_batch):
                 val_losses.append(np.asarray(val_step(state, batch)))
             val_loss = float(np.mean(val_losses))
 

@@ -12,10 +12,8 @@ from pathlib import Path
 import numpy as np
 import pandas as pd
 
-from texttoaudiogrounding_tpu.parallel.mesh import (
-    pad_batch_to_multiple,
-    shard_batch,
-)
+from texttoaudiogrounding_tpu.parallel.mesh import device_feed
+
 from texttoaudiogrounding_tpu.training.runner_base import array_batch
 from texttoaudiogrounding_tpu.training.runner_strong import StrongRunner
 from texttoaudiogrounding_tpu.training.runner_weak_phrase import (
@@ -102,10 +100,8 @@ class ClassMappingStrongRunner(StrongRunner):
         n_dev = self.mesh.devices.size
         pred_buffer: dict = {th: [] for th in thresholds}
         score_buffer: dict = {}
-        for batch in dataloader:
-            arr = array_batch(batch)
-            arr, real_bs = pad_batch_to_multiple(arr, n_dev)
-            arr = shard_batch(arr, self.mesh)
+        for arr, batch, real_bs in device_feed(iter(dataloader), self.mesh,
+                                               n_dev, prepare=array_batch):
             output = forward(state, arr)
             frame_sim = np.asarray(output["frame_sim"])
             lengths = np.asarray(output["length"])
@@ -210,10 +206,8 @@ class ClassMappingWeakRunner(ClassMappingStrongRunner):
         forward = self.make_forward(model)
         n_dev = self.mesh.devices.size
         probs, labels = [], []
-        for batch in dataloader:
-            arr = array_batch(batch)
-            arr, real_bs = pad_batch_to_multiple(arr, n_dev)
-            arr = shard_batch(arr, self.mesh)
+        for arr, batch, real_bs in device_feed(iter(dataloader), self.mesh,
+                                               n_dev, prepare=array_batch):
             output = forward(state, arr)
             probs.append(np.asarray(output["clip_sim"])[:real_bs])
             labels.append(np.asarray(batch["label"])[:real_bs])

@@ -22,6 +22,7 @@ from texttoaudiogrounding_tpu.evaluation.psds import (
 )
 from texttoaudiogrounding_tpu.evaluation.th_auc import compute_th_auc
 from texttoaudiogrounding_tpu.parallel.mesh import (
+    device_feed,
     pad_batch_to_multiple,
     shard_batch,
 )
@@ -113,10 +114,8 @@ class StrongRunner(BaseRunner):
         n_dev = self.mesh.devices.size
         pred_buffer: dict = {th: [] for th in thresholds}
         score_buffer: dict = {}
-        for batch in dataloader:
-            arr = array_batch(batch)
-            arr, real_bs = pad_batch_to_multiple(arr, n_dev)
-            arr = shard_batch(arr, self.mesh)
+        for arr, batch, real_bs in device_feed(iter(dataloader), self.mesh,
+                                               n_dev, prepare=array_batch):
             output = forward(state, arr)
             frame_sim = np.asarray(output["frame_sim"])
             lengths = np.asarray(output["length"])

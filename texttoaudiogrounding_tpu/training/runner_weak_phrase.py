@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from texttoaudiogrounding_tpu.training.runner_base import array_batch
+from texttoaudiogrounding_tpu.training.runner_base import (array_batch,
+                                                           upcast_wire)
 from texttoaudiogrounding_tpu.training.runner_strong import StrongRunner
 from texttoaudiogrounding_tpu.utils.registry import instantiate, register
 
@@ -118,7 +119,8 @@ class WeakPhraseSelfSupervisionRunner(WeakPhraseRunner):
             merge_matched_params,
         )
         variables = teacher.init({"params": jax.random.PRNGKey(0)},
-                                 array_batch(sample_batch), train=False)
+                                 upcast_wire(array_batch(sample_batch)),
+                                 train=False)
         if ckpt is not None:
             payload, meta = load_checkpoint(ckpt)
             params = payload["params"]

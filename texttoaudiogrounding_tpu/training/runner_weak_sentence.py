@@ -18,11 +18,11 @@ import pandas as pd
 from texttoaudiogrounding_tpu.evaluation.decode import decode_multi_threshold
 from texttoaudiogrounding_tpu.parallel.mesh import (
     batch_sharding,
-    pad_batch_to_multiple,
+    device_feed,
     replicate,
-    shard_batch,
 )
-from texttoaudiogrounding_tpu.training.runner_base import array_batch
+from texttoaudiogrounding_tpu.training.runner_base import (array_batch,
+                                                           upcast_wire)
 from texttoaudiogrounding_tpu.training.runner_strong import (
     build_grounding_ground_truth,
 )
@@ -46,6 +46,7 @@ class WeakSentenceRunner(WeakPhraseRunner):
         data = batch_sharding(mesh)
 
         def forward(state, batch):
+            batch = upcast_wire(batch)
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
@@ -78,12 +79,8 @@ class WeakSentenceRunner(WeakPhraseRunner):
         n_dev = self.mesh.devices.size
         pred_buffer: dict = {th: [] for th in thresholds}
         score_buffer: dict = {}
-        for batch in dataloader:
-            arr = array_batch(batch)
-            if not is_phrase_model:
-                pass  # text already [B, L]
-            arr, real_bs = pad_batch_to_multiple(arr, n_dev)
-            arr = shard_batch(arr, self.mesh)
+        for arr, batch, real_bs in device_feed(iter(dataloader), self.mesh,
+                                               n_dev, prepare=array_batch):
             output = forward(state, arr)
             sim_matrix = np.asarray(output["sim_matrix"])
             for idx in range(real_bs):
