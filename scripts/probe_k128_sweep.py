@@ -36,7 +36,7 @@ ROWS = 1664
 LANES = 128
 N = 128
 ITERS = 2048
-NGRP = 2
+NGRP = 6
 
 
 def _kernel(x_ref, w_ref, wb_ref, out_ref, src_ref, z_ref, zf_ref, *,
@@ -94,7 +94,7 @@ def build(variant, quantize):
         in_specs=[
             pl.BlockSpec((ROWS + 16, LANES), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6 * LANES, N), lambda j: (0, 0),
+            pl.BlockSpec((3 * NGRP * LANES, N), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NGRP * LANES, 3 * N), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -120,14 +120,14 @@ def main():
         if quantize:
             x = jax.random.randint(rng, (ROWS + 16, LANES), -127, 127,
                                    jnp.int8)
-            w = jax.random.randint(rng, (6 * LANES, N), -127, 127, jnp.int8)
+            w = jax.random.randint(rng, (3 * NGRP * LANES, N), -127, 127, jnp.int8)
             wb = jax.random.randint(rng, (NGRP * LANES, 3 * N), -127, 127,
                                     jnp.int8)
         else:
             x = jax.random.normal(rng, (ROWS + 16, LANES), dt)
-            w = jax.random.normal(rng, (6 * LANES, N), dt)
+            w = jax.random.normal(rng, (3 * NGRP * LANES, N), dt)
             wb = jax.random.normal(rng, (NGRP * LANES, 3 * N), dt)
-        dot_tops = 2 * ROWS * LANES * N * 6 / 1e12
+        dot_tops = 2 * ROWS * LANES * N * 3 * NGRP / 1e12
         for variant in ("A_shift", "B_wideN", "C_staged", "D_dots"):
             try:
                 fn = jax.jit(build(variant, quantize))

@@ -36,10 +36,11 @@ def _fused_conv_modes(dtype, train: bool):
     3-4 through the fused int8 Pallas ConvBlock kernel
     (ops/pallas/conv_block.py, ~1.6x their bf16 time; dynamic activation
     quantization, parity delta documented in STATUS.md).
-    ``TTG_FUSED_CONV=bf16`` uses the fused kernel without quantization
-    (measured: parity with XLA's in-graph convs — available for
-    experimentation, not routed by default).  Blocks 1-2 stay on XLA
-    (block1: Cin=1; block2: Cin=64 K-starves the MXU).
+    ``TTG_FUSED_CONV=bf16`` uses the fused kernels without quantization.
+    Block 2 routes through the Cin=64 parity-split pair kernel
+    (ops/pallas/conv_block_pair.py, 7.6 ms int8 / 8.4 bf16 vs 10.2 XLA
+    at B=128).  Block 1 stays on XLA (Cin=1 conv1 is VPU work; the K=16
+    im2col design measured 2x worse — STATUS.md).
     """
     import os
 
@@ -52,7 +53,7 @@ def _fused_conv_modes(dtype, train: bool):
     if not pallas_supported():
         return (False, False, False, False)
     mode = "int8" if env == "int8" else True
-    return (False, False, mode, mode)
+    return (False, mode, mode, mode)
 
 
 @register("Cnn8Rnn")

@@ -43,13 +43,40 @@ class ConvBlock(nn.Module):
             from texttoaudiogrounding_tpu.ops.pallas.conv_block import (
                 _pick_tc, fold_bn, fused_double_conv_pool)
             quantize = fused == "int8"
-            try:
-                _pick_tc(x.shape[1], x.shape[2], x.shape[3],
-                         self.out_channels, pool_size[0], pool_size[1],
-                         quantize, self.dtype)
-                ok = True
-            except ValueError:   # e.g. short clips with prime T
+            if (x.shape[3] == 64 and self.out_channels % 128 == 0
+                    and tuple(pool_size) == (2, 2) and x.shape[2] % 2 == 0):
+                # Cin=64 parity-split pair kernel (conv_block_pair.py):
+                # the only fused design that beats XLA at this geometry
+                # (7.6 ms int8 / 8.4 bf16 vs 10.2 XLA at B=128); the
+                # generic kernel's banded dots lose here, so fall back
+                # to XLA (not to it) when the pair layout doesn't fit.
+                from texttoaudiogrounding_tpu.ops.pallas.conv_block_pair \
+                    import _pick_tc_pair, fused_block2_pair
+                try:
+                    _pick_tc_pair(x.shape[1], x.shape[2] // 2)
+                    ok = True
+                except ValueError:
+                    ok = False
+                if ok:
+                    v = self.variables
+                    p, bs = v["params"], v["batch_stats"]
+                    ab1 = fold_bn(p["bn1"]["scale"], p["bn1"]["bias"],
+                                  bs["bn1"]["mean"], bs["bn1"]["var"])
+                    ab2 = fold_bn(p["bn2"]["scale"], p["bn2"]["bias"],
+                                  bs["bn2"]["mean"], bs["bn2"]["var"])
+                    return fused_block2_pair(
+                        x, p["conv1"]["kernel"], ab1,
+                        p["conv2"]["kernel"], ab2, quantize=quantize,
+                        compute_dtype=self.dtype)
                 ok = False
+            else:
+                try:
+                    _pick_tc(x.shape[1], x.shape[2], x.shape[3],
+                             self.out_channels, pool_size[0], pool_size[1],
+                             quantize, self.dtype)
+                    ok = True
+                except ValueError:   # e.g. short clips with prime T
+                    ok = False
             if ok:
                 v = self.variables
                 p, bs = v["params"], v["batch_stats"]
