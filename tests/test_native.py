@@ -80,3 +80,62 @@ def test_native_speedup(rng):
     finally:
         nat._lib, nat._tried = lib, True
     assert native_t < numpy_t
+
+
+@requires_native
+def test_count_curves_ct_parity(rng):
+    """CTTC-aware sweep (DESED PSDS2): native == NumPy reference."""
+    from texttoaudiogrounding_tpu.evaluation.psds import (
+        _file_count_curves_mc)
+    from texttoaudiogrounding_tpu.native import file_count_curves_ct_native
+
+    score = np.round(rng.uniform(size=200), 2).astype(np.float32)
+    timestamps = np.arange(201) * 0.04
+    gt_cls = [(0.5, 2.0), (4.0, 6.5)]
+    gt_other = {"dog": [(1.0, 3.0)], "cat": [(5.0, 7.0), (0.1, 0.4)],
+                "empty": []}
+    native = file_count_curves_ct_native(
+        score, timestamps, gt_cls, gt_other, 0.5, 0.3, 0.2)
+    assert native is not None
+    import texttoaudiogrounding_tpu.native as nat
+    lib = nat._lib
+    nat._lib, nat._tried = None, True
+    try:
+        ref = _file_count_curves_mc(score, timestamps, gt_cls, gt_other,
+                                    0.5, 0.3, 0.2)
+    finally:
+        nat._lib, nat._tried = lib, True
+    np.testing.assert_allclose(native[0], ref[0])
+    np.testing.assert_array_equal(native[1], ref[1])
+    np.testing.assert_array_equal(native[2], ref[2])
+    assert set(native[3]) == set(ref[3])
+    for c in ref[3]:
+        np.testing.assert_array_equal(native[3][c], ref[3][c],
+                                      err_msg=f"class {c}")
+
+
+@requires_native
+def test_count_curves_ct_no_gt(rng):
+    """Pure-FP file (class absent from GT) still yields CT counts."""
+    from texttoaudiogrounding_tpu.evaluation.psds import (
+        _file_count_curves_mc)
+    from texttoaudiogrounding_tpu.native import file_count_curves_ct_native
+
+    score = np.round(rng.uniform(size=80), 2).astype(np.float32)
+    timestamps = np.arange(81) * 0.04
+    gt_other = {"dog": [(0.2, 2.2)]}
+    native = file_count_curves_ct_native(
+        score, timestamps, [], gt_other, 0.5, 0.3, 0.2)
+    assert native is not None
+    import texttoaudiogrounding_tpu.native as nat
+    lib = nat._lib
+    nat._lib, nat._tried = None, True
+    try:
+        ref = _file_count_curves_mc(score, timestamps, [], gt_other,
+                                    0.5, 0.3, 0.2)
+    finally:
+        nat._lib, nat._tried = lib, True
+    np.testing.assert_allclose(native[0], ref[0])
+    np.testing.assert_array_equal(native[1], ref[1])
+    np.testing.assert_array_equal(native[2], ref[2])
+    np.testing.assert_array_equal(native[3]["dog"], ref[3]["dog"])

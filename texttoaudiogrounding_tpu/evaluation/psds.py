@@ -313,14 +313,22 @@ def _file_count_curves_mc(score: np.ndarray, timestamps: np.ndarray,
 
     Cost: O(U·N) per file-class (U = unique scores) — only used when a
     cross-trigger term is active (cttc>0 AND alpha_ct!=0, i.e. the DESED
-    PSDS2 scenario); all other cases route through the
-    native-accelerated :func:`_file_count_curves`.  ``exact=False`` in
-    :func:`compute_psds_sed_scores` is the dense-grid escape hatch.
+    PSDS2 scenario); all other cases route through
+    :func:`_file_count_curves`.  Both sweeps run in the native C++
+    kernel when available (``native/decode.cpp``; the NumPy loop below
+    is the reference fallback), and ``exact=False`` in
+    :func:`compute_psds_sed_scores` remains the dense-grid escape hatch.
 
     Returns (taus_desc, tps, fps, {other: cts}).
     """
     from texttoaudiogrounding_tpu.evaluation.decode import \
         find_contiguous_regions
+    from texttoaudiogrounding_tpu.native import file_count_curves_ct_native
+
+    native = file_count_curves_ct_native(score, timestamps, gt_cls,
+                                         gt_other, dtc, gtc, cttc)
+    if native is not None:
+        return native
 
     uniques = np.unique(score)[::-1]  # descending
     gts = np.array(gt_cls, np.float64).reshape(-1, 2)

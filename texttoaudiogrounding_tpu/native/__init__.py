@@ -64,6 +64,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.file_count_curves_ct.restype = ctypes.c_int
+    lib.file_count_curves_ct.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return _lib
 
@@ -128,3 +140,47 @@ def file_count_curves_native(score: np.ndarray, timestamps: np.ndarray,
     if nu <= 0:
         return None
     return uniques[:nu].copy(), tps[:nu].copy(), fps[:nu].copy()
+
+
+def file_count_curves_ct_native(score: np.ndarray, timestamps: np.ndarray,
+                                gt_events: list, gt_other: dict,
+                                dtc: float, gtc: float, cttc: float
+                                ) -> Optional[tuple]:
+    """Native CTTC-aware exact-PSD-ROC sweep (the DESED PSDS2 path);
+    None if unavailable.  Returns (uniques_desc, tps, fps, {cls: cts})."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    score = np.ascontiguousarray(score, np.float32)
+    timestamps = np.ascontiguousarray(timestamps, np.float64)
+    gts = np.ascontiguousarray(
+        np.asarray(gt_events, np.float64).reshape(-1, 2))
+    classes = list(gt_other)
+    offsets = np.zeros(len(classes) + 1, np.int32)
+    flat = []
+    for i, c in enumerate(classes):
+        arr = np.asarray(gt_other[c], np.float64).reshape(-1, 2)
+        flat.append(arr)
+        offsets[i + 1] = offsets[i] + len(arr)
+    others = (np.concatenate(flat) if flat
+              else np.zeros((0, 2), np.float64))
+    others = np.ascontiguousarray(others)
+    t = len(score)
+    uniques = np.empty(t, np.float32)
+    tps = np.empty(t, np.int64)
+    fps = np.empty(t, np.int64)
+    cts = np.empty((max(len(classes), 1), t), np.int64)
+    nu = lib.file_count_curves_ct(
+        _ptr(score, ctypes.c_float), t,
+        _ptr(timestamps, ctypes.c_double),
+        _ptr(gts, ctypes.c_double), len(gts),
+        _ptr(others, ctypes.c_double),
+        _ptr(offsets, ctypes.c_int), len(classes),
+        float(dtc), float(gtc), float(cttc),
+        _ptr(uniques, ctypes.c_float),
+        _ptr(tps, ctypes.c_int64), _ptr(fps, ctypes.c_int64),
+        _ptr(cts, ctypes.c_int64))
+    if nu <= 0:
+        return None
+    return (uniques[:nu].copy(), tps[:nu].copy(), fps[:nu].copy(),
+            {c: cts[i, :nu].copy() for i, c in enumerate(classes)})

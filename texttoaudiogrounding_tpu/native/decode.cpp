@@ -145,4 +145,79 @@ int file_count_curves(const float* score, int t, const double* timestamps,
   return nu;
 }
 
+// Cross-trigger variant of file_count_curves (the DESED PSDS2 CTTC
+// criterion, reference utils/eval_util.py:136-223 config surface): for
+// each unique threshold, DTC-failing detections are additionally
+// tested per other class — summed intersection ratio vs that class's
+// ground truths >= cttc counts one cross-trigger.
+// others[2*sum_g] holds all other-class (onset, offset) pairs
+// concatenated; other_offsets[n_other+1] delimits each class's pairs
+// (in PAIR units).  cts must have capacity n_other*t, written row-major
+// [n_other][nu].  Returns the number of unique thresholds written.
+int file_count_curves_ct(const float* score, int t,
+                         const double* timestamps, const double* gts,
+                         int g, const double* others,
+                         const int* other_offsets, int n_other,
+                         double dtc, double gtc, double cttc,
+                         float* uniques, int64_t* tps, int64_t* fps,
+                         int64_t* cts) {
+  std::vector<float> sorted(score, score + t);
+  std::sort(sorted.begin(), sorted.end(), std::greater<float>());
+  int nu = 0;
+  for (int i = 0; i < t; ++i)
+    if (nu == 0 || sorted[i] != uniques[nu - 1]) uniques[nu++] = sorted[i];
+
+  std::vector<double> gt_dur(g);
+  for (int j = 0; j < g; ++j) gt_dur[j] = gts[2 * j + 1] - gts[2 * j];
+
+  std::vector<double> coverage(g);
+  for (int ui = 0; ui < nu; ++ui) {
+    const float tau = uniques[ui];
+    std::fill(coverage.begin(), coverage.end(), 0.0);
+    int64_t tp = 0, fp = 0;
+    for (int c = 0; c < n_other; ++c) cts[c * t + ui] = 0;
+    int i = 0;
+    while (i < t) {
+      if (score[i] < tau) { ++i; continue; }
+      int start = i;
+      while (i < t && score[i] >= tau) ++i;
+      const double on = timestamps[start];
+      const double off = timestamps[i];
+      const double dur = off - on;
+      double inter_sum = 0.0;
+      for (int j = 0; j < g; ++j) {
+        const double inter = std::min(off, gts[2 * j + 1]) -
+                             std::max(on, gts[2 * j]);
+        if (inter > 0) inter_sum += inter;
+      }
+      const bool dtc_valid = dur > 0 && inter_sum / dur >= dtc;
+      if (!dtc_valid) {
+        ++fp;
+        if (cttc > 0 && dur > 0) {
+          for (int c = 0; c < n_other; ++c) {
+            double os = 0.0;
+            for (int j = other_offsets[c]; j < other_offsets[c + 1]; ++j) {
+              const double inter = std::min(off, others[2 * j + 1]) -
+                                   std::max(on, others[2 * j]);
+              if (inter > 0) os += inter;
+            }
+            if (os / dur >= cttc) ++cts[c * t + ui];
+          }
+        }
+        continue;
+      }
+      for (int j = 0; j < g; ++j) {
+        const double inter = std::min(off, gts[2 * j + 1]) -
+                             std::max(on, gts[2 * j]);
+        if (inter > 0) coverage[j] += inter;
+      }
+    }
+    for (int j = 0; j < g; ++j)
+      if (gt_dur[j] > 0 && coverage[j] / gt_dur[j] >= gtc) ++tp;
+    tps[ui] = tp;
+    fps[ui] = fp;
+  }
+  return nu;
+}
+
 }  // extern "C"
