@@ -238,3 +238,48 @@ def test_shipped_dp4tp2_recipe_trains_via_runner(tmp_path):
     assert re.search(r"mesh.*data.*4.*model.*2|'data': 4", log)
     losses = re.findall(r"train_loss: ([\d.]+)", log)
     assert losses and np.isfinite(float(losses[-1]))
+
+
+def test_data_parallel_serving_predictor_matches_single():
+    """Mesh-sharded serving: ``GroundingPredictor(mesh=...)`` shards the
+    batch over the data axis (params replicated) and reproduces the
+    single-device probabilities, including the pad-and-trim path for
+    batches that don't divide the mesh (B=3 on dp8)."""
+    from texttoaudiogrounding_tpu.data.tokenizer import DictTokenizer
+    from texttoaudiogrounding_tpu.data.vocabulary import Vocabulary
+    from texttoaudiogrounding_tpu.inference import GroundingPredictor
+
+    mesh = get_mesh(jax.devices()[:8], axis_names=("data",), shape=(8,))
+    model = BiEncoder(
+        audio_encoder=Cnn8Rnn(sample_rate=32000),
+        text_encoder=EmbeddingAgg(vocab_size=100, embed_dim=32),
+        match_fn=DotProduct(), shared_dim=32, add_proj=True)
+    batch = {"waveform": np.zeros((1, 32000), np.float32),
+             "waveform_len": np.array([32000]),
+             "text": np.zeros((1, 4), np.int32),
+             "text_len": np.array([4])}
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+    vocab = Vocabulary()
+    for w in ["<pad>", "<unk>", "a", "dog", "man", "speaking", "barks"]:
+        vocab.add_word(w)
+    tok = DictTokenizer(vocabulary=vocab)
+
+    single = GroundingPredictor(model, variables, tok)
+    sharded = GroundingPredictor(model, variables, tok, mesh=mesh)
+    assert sharded._batch_multiple == 8
+
+    rng_np = np.random.default_rng(3)
+    audio = rng_np.normal(size=(3, 40000)).astype(np.float32) * 0.1
+    lens = np.array([40000, 20000, 40000])
+    text = ["a dog barks", "man speaking", "a man"]
+    p_single, l_single = single.predict(audio, lens, text,
+                                        return_length=True)
+    p_shard, l_shard = sharded.predict(audio, lens, text,
+                                       return_length=True)
+    assert p_shard.shape == p_single.shape == (3, p_single.shape[1])
+    np.testing.assert_array_equal(l_shard, l_single)
+    np.testing.assert_allclose(p_shard, p_single, rtol=2e-5, atol=2e-6)
+
+    segs = sharded.ground(audio, lens, text, threshold=0.0)
+    assert len(segs) == 3

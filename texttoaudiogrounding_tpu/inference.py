@@ -35,21 +35,40 @@ class GroundingPredictor:
 
     def __init__(self, model, variables, tokenizer,
                  time_resolution: float = 0.04,
-                 audio_bucket: int = 32000, text_bucket: int = 4):
+                 audio_bucket: int = 32000, text_bucket: int = 4,
+                 mesh=None):
+        """``mesh``: an optional ``jax.sharding.Mesh`` with a ``data``
+        axis — serving then shards the batch over it (GSPMD data
+        parallelism, parameters replicated), so multi-chip serving
+        scales linearly without code changes; batches that don't divide
+        the mesh are padded and trimmed transparently."""
         import jax
 
         self.model = model
-        self.variables = variables
         self.tokenizer = tokenizer
         self.time_resolution = time_resolution
         self.audio_bucket = audio_bucket
         self.text_bucket = text_bucket
-        self._forward = jax.jit(
-            lambda v, b: self.model.apply(v, b, train=False))
+        self.mesh = mesh
+        fwd = lambda v, b: self.model.apply(v, b, train=False)  # noqa: E731
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from texttoaudiogrounding_tpu.parallel.mesh import replicate
+            rep = replicate(mesh)
+            self.variables = jax.device_put(variables, rep)
+            data = NamedSharding(mesh, P("data"))
+            self._batch_multiple = int(mesh.shape["data"])
+            self._forward = jax.jit(fwd, in_shardings=(rep, data),
+                                    out_shardings=data)
+        else:
+            self.variables = variables
+            self._batch_multiple = 1
+            self._forward = jax.jit(fwd)
 
     @classmethod
-    def from_experiment(cls, experiment_path: str,
-                        which: str = "best") -> "GroundingPredictor":
+    def from_experiment(cls, experiment_path: str, which: str = "best",
+                        mesh=None) -> "GroundingPredictor":
         from texttoaudiogrounding_tpu.training.train_state import \
             load_checkpoint
         exp_dir = Path(experiment_path)
@@ -85,7 +104,8 @@ class GroundingPredictor:
         time_res = config["data"]["train"]["dataset"]["args"].get(
             "time_resolution",
             config.get("inference_args", {}).get("time_resolution", 0.04))
-        return cls(model, variables, tokenizer, time_resolution=time_res)
+        return cls(model, variables, tokenizer, time_resolution=time_res,
+                   mesh=mesh)
 
     def predict(self, audio: np.ndarray, audio_len: np.ndarray,
                 text: List[str],
@@ -115,11 +135,17 @@ class GroundingPredictor:
         if hasattr(self.model, "text_forward_keys"):
             batch["text"] = batch["text"][:, None]
             batch["text_len"] = batch["text_len"][:, None]
+        real_b = batch["waveform"].shape[0]
+        if self._batch_multiple > 1:
+            from texttoaudiogrounding_tpu.parallel.mesh import \
+                pad_batch_to_multiple
+            batch, real_b = pad_batch_to_multiple(batch,
+                                                  self._batch_multiple)
         out = self._forward(self.variables, batch)
-        frame_sim = np.asarray(out["frame_sim"])
+        frame_sim = np.asarray(out["frame_sim"])[:real_b]
         if frame_sim.ndim == 3:
             frame_sim = frame_sim[..., 0]
-        lengths = np.asarray(out["length"])
+        lengths = np.asarray(out["length"])[:real_b]
         mask = np.arange(frame_sim.shape[1])[None] < lengths[:, None]
         masked = frame_sim * mask
         if return_length:

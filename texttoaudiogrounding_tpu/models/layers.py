@@ -220,12 +220,42 @@ class GRUSeq(nn.Module):
         return ys
 
 
+class _GruDirParams(nn.Module):
+    """Parameter tree of one GRU direction (same layout as ``GRUSeq``)."""
+
+    in_dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        h = self.hidden
+        ir_k, ir_b = _GruParam((self.in_dim, h), True, name="ir")()
+        iz_k, iz_b = _GruParam((self.in_dim, h), True, name="iz")()
+        in_k, in_b = _GruParam((self.in_dim, h), True, name="in")()
+        hr_k, _ = _GruParam((h, h), False, recurrent=True, name="hr")()
+        hz_k, _ = _GruParam((h, h), False, recurrent=True, name="hz")()
+        hn_k, hn_b = _GruParam((h, h), True, recurrent=True, name="hn")()
+        wi = jnp.concatenate([ir_k, iz_k, in_k], axis=1)    # [in, 3H]
+        bi = jnp.concatenate([ir_b, iz_b, in_b])            # [3H]
+        wh = jnp.concatenate([hr_k, hz_k, hn_k], axis=1)    # [H, 3H]
+        return wi, bi, wh, hn_b
+
+
 class BiGRU(nn.Module):
     """Bidirectional GRU over padded sequences, outputs concatenated.
 
     Equivalent capability to torch ``nn.GRU(bidirectional=True,
     batch_first=True)`` as used at reference models/audio_encoder.py:141.
     Like the reference, runs over the padded sequence without packing.
+
+    Both directions run in ONE ``lax.scan`` with ONE grouped recurrent
+    dot per step (``gbh,ghk->gbk`` with G=2; the backward direction reads
+    flipped inputs).  Bit-exact vs two sequential per-direction scans and
+    ~1 ms faster fwd+bwd at B=128/T=250/H=256 on v5e — the per-step n-gate
+    dot does not depend on r, so r/z/n fuse into one [H, 3H] dot
+    (measured: scripts/probe_gru_merged.py).  Parameter tree is unchanged
+    (``GRUCell_{0,1}/{ir,iz,in,hr,hz,hn}``) so the torch importer and
+    existing checkpoints work as before.
     """
 
     hidden: int
@@ -233,10 +263,39 @@ class BiGRU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        fwd = GRUSeq(self.hidden, dtype=self.dtype, name="GRUCell_0")(x)
-        bwd = GRUSeq(self.hidden, dtype=self.dtype, reverse=True,
-                     name="GRUCell_1")(x)
-        return jnp.concatenate([fwd, bwd], axis=-1)
+        h = self.hidden
+        wi0, bi0, wh0, bn0 = _GruDirParams(x.shape[-1], h,
+                                           name="GRUCell_0")()
+        wi1, bi1, wh1, bn1 = _GruDirParams(x.shape[-1], h,
+                                           name="GRUCell_1")()
+        dt = self.dtype
+        wi = jnp.stack([wi0, wi1]).astype(dt)        # [2, in, 3H]
+        bi = jnp.stack([bi0, bi1])                   # [2, 3H] (f32)
+        wh = jnp.stack([wh0, wh1]).astype(dt)        # [2, H, 3H]
+        bn = jnp.stack([bn0, bn1])                   # [2, H]
+
+        # hoisted input projections for both directions in one matmul
+        xg = jnp.stack([x, jnp.flip(x, axis=1)]).astype(dt)  # [2, B, T, in]
+        proj = jnp.einsum("gbtd,gdh->gbth", xg, wi,
+                          preferred_element_type=jnp.float32) \
+            + bi[:, None, None]
+
+        def step(hid, pp):                           # hid [2, B, H]
+            # gates in f32; the hidden state (the recurrent dot operand)
+            # carries ``dtype`` so bf16 serving uses bf16 MXU passes
+            rzn = jnp.einsum("gbh,ghk->gbk", hid, wh,
+                             preferred_element_type=jnp.float32)
+            r = jax.nn.sigmoid(pp[..., :h] + rzn[..., :h])
+            z = jax.nn.sigmoid(pp[..., h:2 * h] + rzn[..., h:2 * h])
+            n = jnp.tanh(pp[..., 2 * h:]
+                         + r * (rzn[..., 2 * h:] + bn[:, None]))
+            hid = (1 - z) * n + z * hid.astype(jnp.float32)
+            return hid.astype(dt), hid
+
+        h0 = jnp.zeros((2, x.shape[0], h), dt)
+        _, ys = jax.lax.scan(step, h0, jnp.moveaxis(proj, 2, 0))
+        ys = jnp.moveaxis(ys, 0, 2)                  # [2, B, T, H]
+        return jnp.concatenate([ys[0], jnp.flip(ys[1], axis=1)], axis=-1)
 
 
 class GRU(nn.Module):
