@@ -29,10 +29,16 @@ def pad_sequence(data: list[np.ndarray], pad_to: int | None = None,
     lens = np.array([a.shape[0] for a in arrs], dtype=np.int64)
     t = int(lens.max()) if pad_to is None else pad_to
     t = round_up(max(t, 1), bucket)
-    out = np.zeros((len(arrs), t) + arrs[0].shape[1:], dtype=arrs[0].dtype)
+    # np.empty + per-row tail zeroing instead of np.zeros: full-length
+    # rows (the common case for fixed-duration clips) then cost ONE
+    # memcpy instead of two full writes — this pad is on the loader's
+    # critical path at ~82 MB per B=128 waveform batch
+    out = np.empty((len(arrs), t) + arrs[0].shape[1:], dtype=arrs[0].dtype)
     for i, a in enumerate(arrs):
         n = min(a.shape[0], t)
         out[i, :n] = a[:n]
+        if n < t:
+            out[i, n:] = 0
     return out, np.minimum(lens, t)
 
 
