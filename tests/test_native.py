@@ -139,3 +139,29 @@ def test_count_curves_ct_no_gt(rng):
     np.testing.assert_array_equal(native[1], ref[1])
     np.testing.assert_array_equal(native[2], ref[2])
     np.testing.assert_array_equal(native[3]["dog"], ref[3]["dog"])
+
+
+def test_pack_rows_parity(rng):
+    """Native GIL-free batch pack == the NumPy pad (tails zeroed,
+    overlong rows truncated, trailing dims supported)."""
+    from texttoaudiogrounding_tpu.data.collate import pad_sequence
+    from texttoaudiogrounding_tpu.native import pack_rows_native
+
+    for trail, dt in (((), np.float16), ((7,), np.float32),
+                      ((3, 5), np.int32)):
+        arrs = [np.asarray(
+            rng.normal(size=(n,) + trail) * 50, dtype=dt)
+            for n in (4, 9, 13, 2)]
+        t = 9  # forces truncation of the 13-row entry and padding of rest
+        out = np.empty((len(arrs), t) + trail, dtype=dt)
+        assert pack_rows_native(out, arrs)
+        ref, _ = pad_sequence(arrs, pad_to=t)
+        np.testing.assert_array_equal(out, ref[:, :t])
+
+    # pad_sequence itself routes large batches through the native path
+    big = [np.ones(300000, np.float16) * (i + 1) for i in range(8)]
+    big[3] = big[3][:100]
+    out, lens = pad_sequence(big, bucket=320000)
+    assert out.shape == (8, 320000) and lens[3] == 100
+    assert out[3, 100] == 0 and out[3, 99] == 4 and out[0, 0] == 1
+    assert (out[:, 300000:] == 0).all()

@@ -13,6 +13,20 @@ import numpy as np
 
 from texttoaudiogrounding_tpu.utils.registry import register
 
+# NumPy madvise(HUGEPAGE)s every allocation >= 4 MB; for a loader that
+# allocates a fresh ~80 MB batch per step from several worker threads,
+# the kernel's direct compaction then stalls allocations for SECONDS
+# under concurrency (measured: 1.8-3.3 s/batch vs 51 ms with the
+# madvise off, flat from 1 to 8 threads).  Batch buffers are written
+# once and consumed once, so hugepages buy nothing here anyway.
+try:
+    np._core.multiarray._set_madvise_hugepage(False)
+except AttributeError:  # older numpy
+    try:
+        np.core.multiarray._set_madvise_hugepage(False)  # noqa: NPY201
+    except Exception:  # pragma: no cover - numpy without the knob
+        pass
+
 
 def round_up(x: int, multiple: int) -> int:
     return -(-x // multiple) * multiple
@@ -34,12 +48,27 @@ def pad_sequence(data: list[np.ndarray], pad_to: int | None = None,
     # memcpy instead of two full writes — this pad is on the loader's
     # critical path at ~82 MB per B=128 waveform batch
     out = np.empty((len(arrs), t) + arrs[0].shape[1:], dtype=arrs[0].dtype)
+    if out.nbytes > (1 << 20) and _pack_native(out, arrs, t):
+        return out, np.minimum(lens, t)
     for i, a in enumerate(arrs):
         n = min(a.shape[0], t)
         out[i, :n] = a[:n]
         if n < t:
             out[i, n:] = 0
     return out, np.minimum(lens, t)
+
+
+def _pack_native(out: np.ndarray, arrs: list, t: int) -> bool:
+    """Large batches pack via the native GIL-releasing memcpy kernel
+    (native/decode.cpp pack_rows) so loader worker threads pad
+    concurrently; row tails zero-fill, overlong rows truncate to ``t``."""
+    dt, trail = arrs[0].dtype, arrs[0].shape[1:]
+    if dt == object or any(
+            not a.flags.c_contiguous or a.dtype != dt
+            or a.shape[1:] != trail for a in arrs):
+        return False
+    from texttoaudiogrounding_tpu.native import pack_rows_native
+    return pack_rows_native(out, arrs)
 
 
 def _gather(data_batch: list[dict]) -> dict:

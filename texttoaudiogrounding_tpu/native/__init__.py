@@ -76,6 +76,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.pack_rows.restype = ctypes.c_int
+    lib.pack_rows.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int64,
+    ]
     _lib = lib
     return _lib
 
@@ -184,3 +189,23 @@ def file_count_curves_ct_native(score: np.ndarray, timestamps: np.ndarray,
         return None
     return (uniques[:nu].copy(), tps[:nu].copy(), fps[:nu].copy(),
             {c: cts[i, :nu].copy() for i, c in enumerate(classes)})
+
+
+def pack_rows_native(out: np.ndarray, arrs: list) -> bool:
+    """Pack row arrays into ``out[i]`` (zero-filled tails) with the GIL
+    released, so data-loader worker threads pad batches concurrently.
+
+    ``out`` must be C-contiguous ``[B, ...]``; each ``arrs[i]`` a
+    C-contiguous array of the same dtype whose flattened size is at most
+    a row.  Returns False (caller falls back to NumPy) if the library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    n = len(arrs)
+    srcs = (ctypes.c_void_p * n)(*[a.ctypes.data for a in arrs])
+    nbytes = np.array([a.nbytes for a in arrs], np.int64)
+    row_stride = out.strides[0]
+    lib.pack_rows(out.ctypes.data, srcs,
+                  _ptr(nbytes, ctypes.c_int64), n, row_stride)
+    return True

@@ -220,4 +220,22 @@ int file_count_curves_ct(const float* score, int t,
   return nu;
 }
 
+// Batch row packing for the data loader's pad-to-bucket collate
+// (reference relies on torch DataLoader worker processes for this;
+// here loader workers are threads, so the pad memcpy must drop the
+// GIL — ctypes releases it for the duration of this call, letting all
+// workers pack concurrently).  Copies srcs[i] (nbytes[i] bytes) to
+// dst + i*row_stride and zero-fills the row tail.
+int pack_rows(char* dst, const char* const* srcs, const int64_t* nbytes,
+              int n_rows, int64_t row_stride) {
+  for (int i = 0; i < n_rows; ++i) {
+    const int64_t n = nbytes[i] < row_stride ? nbytes[i] : row_stride;
+    std::memcpy(dst + i * row_stride, srcs[i], static_cast<size_t>(n));
+    if (n < row_stride)
+      std::memset(dst + i * row_stride + n, 0,
+                  static_cast<size_t>(row_stride - n));
+  }
+  return 0;
+}
+
 }  // extern "C"
