@@ -233,3 +233,99 @@ def test_f16_wire_and_device_feed(data_dir):
     next(it)
     with pytest.raises(RuntimeError, match="loader died"):
         next(it)
+
+
+def test_process_worker_loader_matches_thread(tmp_path):
+    """worker_type='process' (spawn + shared-memory transport) yields the
+    same batches as the thread loader for deterministic datasets, across
+    epochs, preserving order and non-array fields."""
+    from tests.synthetic import make_grounding_data, make_vocab
+    from texttoaudiogrounding_tpu.data.collate import TextCollate
+    from texttoaudiogrounding_tpu.data.datasets import AudioPhraseDataset
+    from texttoaudiogrounding_tpu.data.loader import DataLoader
+    from texttoaudiogrounding_tpu.data.tokenizer import DictTokenizer
+    import numpy as np
+
+    wav_csv, label_json, _ = make_grounding_data(tmp_path / "d",
+                                                 num_audio=6, duration=1.0)
+    vocab = make_vocab(label_json, tmp_path / "vocab.pkl")
+    ds = AudioPhraseDataset(str(wav_csv), str(label_json),
+                            time_resolution=0.04)
+    ds[0]  # populate the h5 handle cache — pickling must survive it
+    collate = TextCollate(tokenizer=DictTokenizer(str(tmp_path
+                                                      / "vocab.pkl")),
+                          text_key="phrase",
+                          pad_keys=["waveform", "label"])
+    kw = dict(batch_size=4, collate_fn=collate, shuffle=True,
+              num_workers=2, prefetch=2)
+    thread = DataLoader(ds, worker_type="thread", **kw)
+    proc = DataLoader(ds, worker_type="process", **kw)
+    for epoch in (0, 1):
+        thread.set_epoch(epoch)
+        proc.set_epoch(epoch)
+        got_t, got_p = list(thread), list(proc)
+        assert len(got_t) == len(got_p) > 0
+        for bt, bp in zip(got_t, got_p):
+            assert set(bt) == set(bp)
+            for key in bt:
+                if isinstance(bt[key], np.ndarray):
+                    np.testing.assert_array_equal(bt[key], bp[key],
+                                                  err_msg=key)
+                else:
+                    assert bt[key] == bp[key], key
+
+
+class _BadDataset:
+    """Module-level (spawn-picklable) dataset that fails on one item."""
+
+    def __len__(self):
+        return 8
+
+    def __getitem__(self, i):
+        if i == 5:
+            raise ValueError("boom")
+        return {"x": np.zeros(4, np.float32)}
+
+
+def test_process_worker_loader_propagates_errors():
+    from texttoaudiogrounding_tpu.data.loader import DataLoader
+
+    loader = DataLoader(_BadDataset(), batch_size=4, num_workers=2,
+                        worker_type="process")
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)
+
+
+def test_process_worker_loader_survives_abandoned_iteration(tmp_path):
+    """Breaking out mid-epoch must not corrupt the next epoch (stale
+    in-flight results are dropped by sequence number)."""
+    from tests.synthetic import make_grounding_data, make_vocab
+    from texttoaudiogrounding_tpu.data.collate import TextCollate
+    from texttoaudiogrounding_tpu.data.datasets import AudioPhraseDataset
+    from texttoaudiogrounding_tpu.data.loader import DataLoader
+    from texttoaudiogrounding_tpu.data.tokenizer import DictTokenizer
+
+    wav_csv, label_json, _ = make_grounding_data(tmp_path / "d",
+                                                 num_audio=6, duration=1.0)
+    make_vocab(label_json, tmp_path / "vocab.pkl")
+    ds = AudioPhraseDataset(str(wav_csv), str(label_json),
+                            time_resolution=0.04)
+    collate = TextCollate(tokenizer=DictTokenizer(str(tmp_path
+                                                      / "vocab.pkl")),
+                          text_key="phrase",
+                          pad_keys=["waveform", "label"])
+    loader = DataLoader(ds, batch_size=2, collate_fn=collate,
+                        shuffle=True, num_workers=2, prefetch=2,
+                        worker_type="process")
+    loader.set_epoch(0)
+    for batch in loader:
+        break  # abandon with several batches in flight
+    loader.set_epoch(1)
+    full = list(loader)
+    ref = DataLoader(ds, batch_size=2, collate_fn=collate, shuffle=True,
+                     num_workers=0)
+    ref.set_epoch(1)
+    expect = list(ref)
+    assert len(full) == len(expect)
+    for bp, bt in zip(full, expect):
+        np.testing.assert_array_equal(bp["waveform"], bt["waveform"])

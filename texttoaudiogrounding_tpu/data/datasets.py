@@ -39,6 +39,15 @@ class Dataset:
     def __getitem__(self, index):
         raise NotImplementedError
 
+    def __getstate__(self):
+        # open h5py handles don't pickle; process-worker loaders re-open
+        # lazily in the child (read_from_h5 repopulates the cache)
+        state = dict(self.__dict__)
+        for key in ("cache", "h5_cache"):
+            if isinstance(state.get(key), dict):
+                state[key] = {}
+        return state
+
 
 def _as_wire(waveform) -> np.ndarray:
     """Keep float16-packed waveforms (tools/pack_waveform.py stores f16,
