@@ -84,6 +84,20 @@ class ConvBlock(nn.Module):
                               bs["bn1"]["mean"], bs["bn1"]["var"])
                 ab2 = fold_bn(p["bn2"]["scale"], p["bn2"]["bias"],
                               bs["bn2"]["mean"], bs["bn2"]["var"])
+                import os
+                if (os.environ.get("TTG_WINO") == "1"
+                        and x.shape[3] >= 128
+                        and tuple(pool_size) == (2, 2)
+                        and x.shape[2] % 2 == 0):
+                    # Winograd F(2,3x3) plane kernel: 2.25x fewer MACs
+                    # at identical dot shapes (conv_block_wino.py);
+                    # opt-in until the on-chip numbers beat direct9
+                    from texttoaudiogrounding_tpu.ops.pallas. \
+                        conv_block_wino import fused_block_wino
+                    return fused_block_wino(
+                        x, p["conv1"]["kernel"], ab1,
+                        p["conv2"]["kernel"], ab2, quantize=quantize,
+                        compute_dtype=self.dtype)
                 return fused_double_conv_pool(
                     x, p["conv1"]["kernel"], ab1, p["conv2"]["kernel"],
                     ab2, tuple(pool_size), quantize=quantize,
