@@ -1,0 +1,68 @@
+"""Pallas scan-fused BiGRU recurrence (interpret mode).
+
+``ops/pallas/gru.py`` is the SURVEY §7 "GRU scan fusion" target: the
+serving-path recurrence with weights and carries VMEM-resident across a
+sequential grid walk.  Interpret-mode CI pins it bit-close against the
+grouped ``lax.scan`` BiGRU (models/layers.py), both standalone and via
+the ``TTG_PALLAS_GRU=1`` routing.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from texttoaudiogrounding_tpu.models.layers import BiGRU
+from texttoaudiogrounding_tpu.ops.pallas.gru import bigru_pallas
+
+
+def _params_and_input(b=4, t=10, d=12, h=8, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(b, t, d)) * 0.3, jnp.float32)
+    model = BiGRU(h)
+    variables = model.init(jax.random.PRNGKey(1), x)
+    return model, variables, x, (b, t, d, h)
+
+
+def test_bigru_pallas_matches_scan():
+    model, variables, x, (b, t, d, h) = _params_and_input()
+    ref = model.apply(variables, x)
+
+    p = variables["params"]
+
+    def packed(g):
+        cell = p[f"GRUCell_{g}"]
+        wi = jnp.concatenate([cell["ir"]["kernel"], cell["iz"]["kernel"],
+                              cell["in"]["kernel"]], 1)
+        bi = jnp.concatenate([cell["ir"]["bias"], cell["iz"]["bias"],
+                              cell["in"]["bias"]])
+        wh = jnp.concatenate([cell["hr"]["kernel"], cell["hz"]["kernel"],
+                              cell["hn"]["kernel"]], 1)
+        return wi, bi, wh, cell["hn"]["bias"]
+
+    wi0, bi0, wh0, bn0 = packed(0)
+    wi1, bi1, wh1, bn1 = packed(1)
+    xg = jnp.stack([x, jnp.flip(x, 1)])
+    wi = jnp.stack([wi0, wi1])
+    bi = jnp.stack([bi0, bi1])
+    tproj = jnp.einsum("gbtd,gdh->tgbh", xg, wi) + bi[None, :, None]
+    ys = bigru_pallas(tproj.reshape(t, 2 * b, 3 * h),
+                      jnp.stack([wh0, wh1]), jnp.stack([bn0, bn1]),
+                      interpret=True)
+    ys = jnp.moveaxis(ys.reshape(t, 2, b, h), 0, 2)
+    got = jnp.concatenate([ys[0], jnp.flip(ys[1], 1)], -1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bigru_env_routing(monkeypatch):
+    """TTG_PALLAS_GRU=1 routes BiGRU through the kernel (interpret on
+    CPU via pallas_supported? no — CPU has no Mosaic, so the routing
+    must quietly stay on the scan path there)."""
+    model, variables, x, _ = _params_and_input(seed=3)
+    ref = model.apply(variables, x)
+    monkeypatch.setenv("TTG_PALLAS_GRU", "1")
+    got = model.apply(variables, x)   # pallas_supported() False on CPU
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=0)

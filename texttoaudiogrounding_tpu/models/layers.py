@@ -290,6 +290,28 @@ class BiGRU(nn.Module):
 
         # hoisted input projections for both directions in one matmul
         xg = jnp.stack([x, jnp.flip(x, axis=1)]).astype(dt)  # [2, B, T, in]
+
+        import os
+        if (os.environ.get("TTG_PALLAS_GRU") == "1"
+                and not self.is_initializing()):
+            from texttoaudiogrounding_tpu.ops.pallas.gru import bigru_pallas
+            from texttoaudiogrounding_tpu.ops.pallas.logmel import \
+                pallas_supported
+            if pallas_supported():
+                # serving-only scan-fused recurrence (no VJP defined):
+                # weights + carries stay VMEM-resident across the
+                # sequential grid walk
+                tproj = jnp.einsum("gbtd,gdh->tgbh", xg, wi,
+                                   preferred_element_type=jnp.float32) \
+                    + bi[None, :, None]
+                bsz, tlen = x.shape[0], x.shape[1]
+                ys = bigru_pallas(
+                    tproj.reshape(tlen, 2 * bsz, 3 * h), wh, bn,
+                    dtype=dt)
+                ys = jnp.moveaxis(ys.reshape(tlen, 2, bsz, h), 0, 2)
+                return jnp.concatenate(
+                    [ys[0], jnp.flip(ys[1], axis=1)], axis=-1)
+
         proj = jnp.einsum("gbtd,gdh->gbth", xg, wi,
                           preferred_element_type=jnp.float32) \
             + bi[:, None, None]
