@@ -68,9 +68,21 @@ def test_wino_int8_close():
 
 
 def test_pick_tpad_tc():
-    # block3 serving geometry: T=250, M=16
-    tpad, tc = _pick_tpad_tc(250, 16)
-    assert tpad == 250 and 250 % tc == 0 and (tc + 4) * 16 <= 1800
-    # block4: T=125 (odd) -> padded even, whole-clip chunk allowed
-    tpad, tc = _pick_tpad_tc(125, 8)
+    from texttoaudiogrounding_tpu.ops.pallas.conv_block_wino import (
+        _wino_vmem_bytes,
+    )
+
+    # block3 serving geometry (int8): T=250, M=16, 128 -> 256
+    tpad, tc = _pick_tpad_tc(250, 16, 128, 256, True, jnp.bfloat16)
+    assert tpad == 250 and 250 % tc == 0
+    assert _wino_vmem_bytes(tc, tpad, 16, 128, 256, True,
+                            jnp.bfloat16) <= 13 * 2 ** 20
+    # block4 (int8): T=125 (odd) -> padded even; the working set of a
+    # whole-clip chunk would blow VMEM, so the pick must stay bounded
+    tpad, tc = _pick_tpad_tc(125, 8, 256, 512, True, jnp.bfloat16)
     assert tpad % 2 == 0 and tpad >= 126 and tpad % tc == 0
+    assert _wino_vmem_bytes(tc, tpad, 8, 256, 512, True,
+                            jnp.bfloat16) <= 13 * 2 ** 20
+    # bf16 block4 weights alone need ~12.6 MB -> no valid chunk
+    with pytest.raises(ValueError):
+        _pick_tpad_tc(125, 8, 256, 512, False, jnp.bfloat16)

@@ -93,11 +93,21 @@ class ConvBlock(nn.Module):
                     # at identical dot shapes (conv_block_wino.py);
                     # opt-in until the on-chip numbers beat direct9
                     from texttoaudiogrounding_tpu.ops.pallas. \
-                        conv_block_wino import fused_block_wino
-                    return fused_block_wino(
-                        x, p["conv1"]["kernel"], ab1,
-                        p["conv2"]["kernel"], ab2, quantize=quantize,
-                        compute_dtype=self.dtype)
+                        conv_block_wino import (_pick_tpad_tc,
+                                                fused_block_wino)
+                    try:
+                        _pick_tpad_tc(x.shape[1], x.shape[2],
+                                      x.shape[3], self.out_channels,
+                                      quantize, self.dtype)
+                        wino_ok = True
+                    except ValueError:  # e.g. bf16 block4 VMEM
+                        wino_ok = False
+                    if wino_ok:
+                        return fused_block_wino(
+                            x, p["conv1"]["kernel"], ab1,
+                            p["conv2"]["kernel"], ab2,
+                            quantize=quantize,
+                            compute_dtype=self.dtype)
                 return fused_double_conv_pool(
                     x, p["conv1"]["kernel"], ab1, p["conv2"]["kernel"],
                     ab2, tuple(pool_size), quantize=quantize,

@@ -274,8 +274,8 @@ def fused_block_wino(x: jax.Array, w1: jax.Array, ab1: tuple,
     b, t, m, cin = x.shape
     cout = w1.shape[-1]
     assert m % 2 == 0
-    tpad, tc = (_pick_tpad_tc(t, m) if tc is None
-                else (t + (t % 2), tc))
+    tpad, tc = (_pick_tpad_tc(t, m, cin, cout, quantize, compute_dtype)
+                if tc is None else (t + (t % 2), tc))
     if tpad != t:
         x = jnp.pad(x, ((0, 0), (0, tpad - t), (0, 0), (0, 0)))
 
@@ -331,19 +331,47 @@ def fused_block_wino(x: jax.Array, w1: jax.Array, ab1: tuple,
     return out
 
 
-def _pick_tpad_tc(t: int, m: int, max_rows: int = 1800) -> tuple:
+def _wino_vmem_bytes(tc: int, tpad: int, m: int, cin: int, cout: int,
+                     quantize: bool, compute_dtype) -> int:
+    """Rough per-chunk VMEM estimate: resident weight refs + the
+    butterfly's peak of ~32 live [rows, C] f32 arrays per conv + plane
+    refs + the staged input."""
+    mp = m // 2
+    rows1 = (tc // 2 + 2) * mp
+    rows2 = (tc // 2) * mp
+    isize = jnp.dtype(compute_dtype).itemsize
+    wsize = 1 if quantize else isize
+    return (
+        16 * (cin + cout) * cout * wsize          # u1 + u2 refs
+        + 32 * rows1 * cin * 4                    # conv1 butterfly peak
+        + 32 * rows2 * cout * 4                   # conv2 butterfly peak
+        + 4 * (rows1 + 2) * cout * isize          # y1 plane refs
+        + ((tpad + 8) * m + 8) * cin * isize      # xp
+        + ((tc + 8) * m + 8) * cin * isize        # xc
+        + 2 * rows2 * cout * 2                    # out block (x2 pipeline)
+    )
+
+
+def _pick_tpad_tc(t: int, m: int, cin: int = 128, cout: int = 128,
+                  quantize: bool = True,
+                  compute_dtype=jnp.bfloat16,
+                  vmem_budget: int = 13 * 2 ** 20) -> tuple:
     """Smallest zero-padded T (even, growing to multiples of 8/16/32)
-    admitting an even chunk tc with (tc+4)*m <= max_rows conv1 window
-    rows and a (8, 128)-tileable pooled out block."""
+    admitting an even chunk tc whose estimated working set fits VMEM
+    and whose pooled out block is (8, 128)-tileable."""
     mp = m // 2
 
     def pick(tpad):
         best = 0
         for c in range(2, tpad + 1, 2):
-            if tpad % c != 0 or (c + 4) * m > max_rows:
+            if tpad % c != 0:
                 continue
-            if (c // 2 * mp) % 8 == 0 or c == tpad:
-                best = c
+            if (c // 2 * mp) % 8 != 0 and c != tpad:
+                continue
+            if _wino_vmem_bytes(c, tpad, m, cin, cout, quantize,
+                                compute_dtype) > vmem_budget:
+                continue
+            best = c
         return best
 
     for mult in (2, 8, 16, 32, 64):
@@ -351,4 +379,5 @@ def _pick_tpad_tc(t: int, m: int, max_rows: int = 1800) -> tuple:
         c = pick(tpad)
         if c:
             return tpad, c
-    raise ValueError(f"no valid wino chunking for T={t} m={m}")
+    raise ValueError(f"no valid wino chunking for T={t} m={m} "
+                     f"cin={cin} cout={cout}")
