@@ -172,9 +172,9 @@ def _kernel(x_ref, u1_ref, u2_ref, ab_ref, out_ref, xp_ref, xc_ref,
     b2 = ab_ref[3:4]
 
     def conv_planes(v, u_ref, k_dim, n_rows, su_row0):
-        """16 dots + A^T (.) A output accumulation into 4 planes."""
-        planes = [[jnp.zeros((n_rows, cout), jnp.float32)
-                   for _ in range(2)] for _ in range(2)]
+        """16 dots + two-stage A^T M A output butterfly (24 adds, not
+        the naive 36 plane accumulations)."""
+        mm = [[None] * 4 for _ in range(4)]
         for i in range(4):
             for j in range(4):
                 k = 4 * i + j
@@ -194,18 +194,13 @@ def _kernel(x_ref, u1_ref, u2_ref, ab_ref, out_ref, xp_ref, xc_ref,
                         u_ref[k * k_dim:(k + 1) * k_dim],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                for tau in range(2):
-                    ci = float(_AT[tau, i])
-                    if ci == 0.0:
-                        continue
-                    for mu in range(2):
-                        cj = float(_AT[mu, j])
-                        if cj == 0.0:
-                            continue
-                        planes[tau][mu] = (planes[tau][mu] + mk
-                                           if ci * cj > 0
-                                           else planes[tau][mu] - mk)
-        return planes
+                mm[i][j] = mk
+        # stage 1 (over i): S[p][j] = A^T[p] . M[:, j]
+        s0 = [mm[0][j] + mm[1][j] + mm[2][j] for j in range(4)]
+        s1 = [mm[1][j] - mm[2][j] - mm[3][j] for j in range(4)]
+        # stage 2 (over j): Y[p][q] = A^T[q] . S[p]
+        return [[sp[0] + sp[1] + sp[2], sp[1] - sp[2] - sp[3]]
+                for sp in (s0, s1)]
 
     y1 = conv_planes(v1, u1_ref, cin, rows1, 4)
 
