@@ -56,11 +56,15 @@ def main():
     out, carry = fwd(variables, jbatch, carry)
     float(carry)
 
-    t0 = time.time()
-    for _ in range(iters):
-        out, carry = fwd(variables, jbatch, carry)
-    _ = float(carry)  # one scalar fetch forces the whole chain
-    dt = (time.time() - t0) / iters
+    # two timed loops, report the second: the FIRST steady-state loop
+    # in a process can measure inflated through the axon tunnel
+    # (scripts/profile_train.py settling-pass finding)
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(iters):
+            out, carry = fwd(variables, jbatch, carry)
+        _ = float(carry)  # one scalar fetch forces the whole chain
+        dt = (time.time() - t0) / iters
     clips_per_sec = batch_size / dt
 
     print(json.dumps({
