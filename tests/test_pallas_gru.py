@@ -66,3 +66,51 @@ def test_bigru_env_routing(monkeypatch):
     got = model.apply(variables, x)   # pallas_supported() False on CPU
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-6, atol=0)
+
+
+def test_bigru_pallas_custom_vjp_grads():
+    """Gradients of the Pallas recurrence (custom VJP, backward kernel
+    walking the grid reversed) match jax.grad of the scan BiGRU for
+    proj, wh and bn."""
+    from texttoaudiogrounding_tpu.ops.pallas.gru import (
+        bigru_pallas_trainable,
+    )
+
+    rng = np.random.default_rng(5)
+    b, t, h = 3, 7, 8
+    proj = jnp.asarray(rng.normal(size=(t, 2 * b, 3 * h)) * 0.5,
+                       jnp.float32)
+    wh = jnp.asarray(rng.normal(size=(2, h, 3 * h)) * 0.4, jnp.float32)
+    bn = jnp.asarray(rng.normal(size=(2, h)) * 0.2, jnp.float32)
+    g_out = jnp.asarray(rng.normal(size=(t, 2 * b, h)), jnp.float32)
+
+    def scan_ref(proj, wh, bn):
+        def step(hid, pp):                       # hid [2B, H]
+            rzn = jnp.concatenate(
+                [hid[:b] @ wh[0], hid[b:] @ wh[1]], 0)
+            r = jax.nn.sigmoid(pp[:, :h] + rzn[:, :h])
+            z = jax.nn.sigmoid(pp[:, h:2 * h] + rzn[:, h:2 * h])
+            bns = jnp.concatenate([jnp.tile(bn[0], (b, 1)),
+                                   jnp.tile(bn[1], (b, 1))], 0)
+            n = jnp.tanh(pp[:, 2 * h:] + r * (rzn[:, 2 * h:] + bns))
+            hid = (1 - z) * n + z * hid
+            return hid, hid
+
+        _, ys = jax.lax.scan(step, jnp.zeros((2 * b, h)), proj)
+        return ys
+
+    def loss(fn):
+        return lambda p, w, c: jnp.sum(fn(p, w, c) * g_out)
+
+    ref_val = loss(scan_ref)(proj, wh, bn)
+    got_val = loss(lambda p, w, c: bigru_pallas_trainable(
+        p, w, c, interpret=True))(proj, wh, bn)
+    np.testing.assert_allclose(float(got_val), float(ref_val),
+                               rtol=1e-5)
+
+    ref_grads = jax.grad(loss(scan_ref), argnums=(0, 1, 2))(proj, wh, bn)
+    got_grads = jax.grad(loss(lambda p, w, c: bigru_pallas_trainable(
+        p, w, c, interpret=True)), argnums=(0, 1, 2))(proj, wh, bn)
+    for name, rg, gg in zip(("proj", "wh", "bn"), ref_grads, got_grads):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(rg),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)

@@ -304,20 +304,25 @@ class BiGRU(nn.Module):
         import os
         if (os.environ.get("TTG_PALLAS_GRU") == "1"
                 and not self.is_initializing()):
-            from texttoaudiogrounding_tpu.ops.pallas.gru import bigru_pallas
+            from texttoaudiogrounding_tpu.ops.pallas.gru import (
+                bigru_pallas, bigru_pallas_trainable)
             from texttoaudiogrounding_tpu.ops.pallas.logmel import \
                 pallas_supported
             if pallas_supported():
-                # serving-only scan-fused recurrence (no VJP defined):
-                # weights + carries stay VMEM-resident across the
-                # sequential grid walk
+                # scan-fused recurrence: weights + carries stay
+                # VMEM-resident across the sequential grid walk.  f32
+                # (training) uses the custom-VJP variant whose backward
+                # is a reversed-grid Pallas kernel; bf16 serving uses
+                # the forward-only kernel.
                 tproj = jnp.einsum("gbtd,gdh->tgbh", xg, wi,
                                    preferred_element_type=jnp.float32) \
                     + bi[None, :, None]
                 bsz, tlen = x.shape[0], x.shape[1]
-                ys = bigru_pallas(
-                    tproj.reshape(tlen, 2 * bsz, 3 * h), wh, bn,
-                    dtype=dt)
+                tproj = tproj.reshape(tlen, 2 * bsz, 3 * h)
+                if dt == jnp.float32:
+                    ys = bigru_pallas_trainable(tproj, wh, bn)
+                else:
+                    ys = bigru_pallas(tproj, wh, bn, dtype=dt)
                 ys = jnp.moveaxis(ys.reshape(tlen, 2, bsz, h), 0, 2)
                 return jnp.concatenate(
                     [ys[0], jnp.flip(ys[1], axis=1)], axis=-1)

@@ -87,3 +87,160 @@ def bigru_pallas(proj: jax.Array, wh: jax.Array, bn: jax.Array, *,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(proj, wh.reshape(2 * h, h3).astype(dtype), bn)
+
+
+# ---------------------------------------------------------------------
+# custom VJP: the f32 BiGRU backward is the single remaining gap to the
+# >=900 clips/s training bar (STATUS.md) — XLA's scan backward streams
+# dynamic-update-slice state; this kernel walks the grid REVERSED
+# (index maps j -> T-1-j), recomputes the gates from the saved outputs
+# (3 dots/step/direction) and accumulates the weight grads in scratch.
+# ---------------------------------------------------------------------
+
+
+def _bwd_kernel(proj_ref, ysp_ref, g_ref, wh_ref, wht_ref, bn_ref,
+                dproj_ref, dwh_ref, dbn_ref, dh0_ref, dh1_ref,
+                awh_ref, abn_ref, *, b: int, h: int, t: int):
+    import jax.experimental.pallas as pl
+
+    jj = pl.program_id(0)
+
+    @pl.when(jj == 0)
+    def _():
+        dh0_ref[...] = jnp.zeros((b, h), jnp.float32)
+        dh1_ref[...] = jnp.zeros((b, h), jnp.float32)
+        awh_ref[...] = jnp.zeros((2 * h, 3 * h), jnp.float32)
+        abn_ref[...] = jnp.zeros((2, h), jnp.float32)
+
+    def step(dh_ref, g, rows):
+        pp = proj_ref[0, rows:rows + b]
+        h_prev = ysp_ref[0, rows:rows + b]
+        gt = g_ref[0, rows:rows + b]
+        rzn = jax.lax.dot_general(
+            h_prev, wh_ref[g * h:(g + 1) * h],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        bn = bn_ref[g:g + 1]
+        r = jax.nn.sigmoid(pp[:, :h] + rzn[:, :h])
+        z = jax.nn.sigmoid(pp[:, h:2 * h] + rzn[:, h:2 * h])
+        an = rzn[:, 2 * h:] + bn
+        n = jnp.tanh(pp[:, 2 * h:] + r * an)
+
+        dhp = gt + dh_ref[...]                       # dL/dh_t
+        dn = dhp * (1 - z)
+        dz = dhp * (h_prev - n)
+        da_n = dn * (1 - n * n)
+        dr = da_n * an
+        da_r = dr * r * (1 - r)
+        da_z = dz * z * (1 - z)
+        drzn_n = da_n * r
+        # dproj = (da_r, da_z, da_n) — stored per third, and the
+        # d_rzn-dependent dots run per third too (lane-axis concat
+        # does not lower on Mosaic; Wh^T comes pre-split per gate)
+        dproj_ref[0, rows:rows + b, 0:h] = da_r
+        dproj_ref[0, rows:rows + b, h:2 * h] = da_z
+        dproj_ref[0, rows:rows + b, 2 * h:3 * h] = da_n
+        dh_new = dhp * z
+        for third, dcol in ((0, da_r), (1, da_z), (2, drzn_n)):
+            dh_new = dh_new + jax.lax.dot_general(
+                dcol, wht_ref[(g * 3 + third) * h:(g * 3 + third + 1) * h],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            awh_ref[g * h:(g + 1) * h,
+                    third * h:(third + 1) * h] = (
+                awh_ref[g * h:(g + 1) * h, third * h:(third + 1) * h]
+                + jax.lax.dot_general(
+                    h_prev, dcol, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+        abn_ref[g:g + 1] = abn_ref[g:g + 1] + jnp.sum(
+            drzn_n, axis=0, keepdims=True)
+        dh_ref[...] = dh_new
+
+    step(dh0_ref, 0, 0)
+    step(dh1_ref, 1, b)
+
+    @pl.when(jj == t - 1)
+    def _():
+        dwh_ref[...] = awh_ref[...]
+        dbn_ref[...] = abn_ref[...]
+
+
+def _bigru_fwd(proj, wh, bn, interpret):
+    ys = bigru_pallas(proj, wh, bn, dtype=jnp.float32,
+                      interpret=interpret)
+    return ys, (proj, ys, wh, bn)
+
+
+def _bigru_bwd(interpret, res, g):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    proj, ys, wh, bn = res
+    t, b2, h3 = proj.shape
+    b, h = b2 // 2, h3 // 3
+    # h_{t-1} per step: the fwd outputs shifted right by one (h_{-1}=0)
+    ysp = jnp.concatenate([jnp.zeros((1, b2, h), jnp.float32),
+                           ys[:-1]], axis=0)
+    whf = wh.reshape(2 * h, h3).astype(jnp.float32)
+    # Wh^T pre-split per gate third: rows (g, third) -> [H, H] blocks
+    wht = jnp.concatenate(
+        [whf[g * h:(g + 1) * h, th * h:(th + 1) * h].T
+         for g in range(2) for th in range(3)], axis=0)   # [6H, H]
+    rev = t - 1
+
+    kern = functools.partial(_bwd_kernel, b=b, h=h, t=t)
+    dproj, dwh, dbn = pl.pallas_call(
+        kern,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b2, h3), lambda j, rev=rev: (rev - j, 0, 0)),
+            pl.BlockSpec((1, b2, h), lambda j, rev=rev: (rev - j, 0, 0)),
+            pl.BlockSpec((1, b2, h), lambda j, rev=rev: (rev - j, 0, 0)),
+            pl.BlockSpec((2 * h, h3), lambda j: (0, 0)),
+            pl.BlockSpec((6 * h, h), lambda j: (0, 0)),
+            pl.BlockSpec((2, h), lambda j: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b2, h3), lambda j, rev=rev: (rev - j, 0, 0)),
+            pl.BlockSpec((2 * h, h3), lambda j: (0, 0)),
+            pl.BlockSpec((2, h), lambda j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b2, h3), jnp.float32),
+            jax.ShapeDtypeStruct((2 * h, h3), jnp.float32),
+            jax.ShapeDtypeStruct((2, h), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, h), jnp.float32),
+                        pltpu.VMEM((b, h), jnp.float32),
+                        pltpu.VMEM((2 * h, 3 * h), jnp.float32),
+                        pltpu.VMEM((2, h), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(proj.astype(jnp.float32), ysp, g.astype(jnp.float32), whf, wht,
+      jnp.asarray(bn, jnp.float32))
+    return dproj, dwh.reshape(wh.shape), dbn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bigru_diff(proj, wh, bn, interpret):
+    return bigru_pallas(proj, wh, bn, dtype=jnp.float32,
+                        interpret=interpret)
+
+
+def _bigru_diff_fwd(proj, wh, bn, interpret):
+    return _bigru_fwd(proj, wh, bn, interpret)
+
+
+_bigru_diff.defvjp(_bigru_diff_fwd, _bigru_bwd)
+
+
+def bigru_pallas_trainable(proj: jax.Array, wh: jax.Array,
+                           bn: jax.Array, *,
+                           interpret: bool = False) -> jax.Array:
+    """f32 BiGRU recurrence with a Pallas backward (custom VJP).
+
+    Same contract as :func:`bigru_pallas`; gradients flow to ``proj``
+    (and through it to the inputs and input-projection weights via the
+    XLA einsum), ``wh`` and ``bn``."""
+    return _bigru_diff(proj, wh, bn, interpret)
