@@ -30,6 +30,8 @@ STEPS = [
      ["python", "bench.py"], 1800),
     ("per-block wino", {}, ["python", "scripts/bench_wino.py"], 2400),
     ("train profile", {}, ["python", "scripts/profile_train.py"], 2400),
+    ("train profile pallas-gru", {"TTG_PALLAS_GRU": "1"},
+     ["python", "scripts/profile_train.py"], 2400),
 ]
 FULL_STEPS = [
     ("int8 parity at scale", {"TTG_FUSED_CONV": "int8"},
