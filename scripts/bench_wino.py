@@ -1,8 +1,16 @@
-"""Winograd fused-block kernel vs direct9 vs XLA, blocks 3-4 (real chip).
+"""Winograd fused-block kernel vs direct9 vs XLA (real chip).
 
-Standalone per-block timings at B=128 x 10 s serving shapes:
-  block3: [B, 250, 16, 128] -> [B, 125, 8, 256]
-  block4: [B, 125,  8, 256] -> [B,  62, 4, 512]
+NOTE the shapes are a pool-(2,2) ANALOG of blocks 3-4, not the flagship's
+actual geometry: Cnn8Rnn pools blocks 3-4 with (1, 2) (output must stay
+40 ms/frame, models/audio_encoder.py:111-114), and the wino kernel only
+supports (2, 2) — so ``TTG_WINO=1`` never routes in the flagship, and
+e2e bench deltas under that flag are noise.  Measured here 2026-08-18
+(B=128): block3 wino int8 15.0 ms vs direct9 5.2; block4 9.6 vs 4.3 —
+the plane transforms do not overlap the MXU dots; wino is a closed dead
+end on v5e (STATUS.md).
+
+  block3-analog: [B, 250, 16, 128] -> [B, 125, 8, 256]
+  block4-analog: [B, 125,  8, 256] -> [B,  62, 4, 512]
 
 Usage: python scripts/bench_wino.py [B]
 """
@@ -31,6 +39,28 @@ def timeit(fn, args, iters=20):
     return ms
 
 
+def xla_bf16_ref(x, w1, ab1, w2, ab2, pool=(2, 2)):
+    """Whole-block XLA reference with bf16 conv passes (f32 BN/pool)."""
+
+    def conv(x, w, a, b):
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return jnp.maximum(y * a + b, 0.0)
+
+    y = conv(x, w1, *ab1)
+    y = conv(y, w2, *ab2)
+    win = (1, pool[0], pool[1], 1)
+    t2 = y.shape[1] // pool[0] * pool[0]
+    y = y[:, :t2]
+    avg = jax.lax.reduce_window(y, 0.0, jax.lax.add, win, win,
+                                "VALID") / (pool[0] * pool[1])
+    mx = jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, win, win, "VALID")
+    return avg + mx
+
+
 def main():
     from texttoaudiogrounding_tpu.ops.pallas.conv_block import (
         fused_double_conv_pool,
@@ -38,8 +68,6 @@ def main():
     from texttoaudiogrounding_tpu.ops.pallas.conv_block_wino import (
         fused_block_wino,
     )
-    from tests.test_pallas_conv_block_small import xla_ref
-
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     rng = jax.random.PRNGKey(0)
 
@@ -54,9 +82,9 @@ def main():
         xb = x.astype(jnp.bfloat16)
 
         variants = {
-            "xla bf16": lambda xx, c: xla_ref(
-                (xx + c).astype(jnp.bfloat16), w1.astype(jnp.bfloat16),
-                ab1, w2.astype(jnp.bfloat16), ab2),
+            "xla bf16": lambda xx, c: xla_bf16_ref(
+                xx + c, w1.astype(jnp.bfloat16), ab1,
+                w2.astype(jnp.bfloat16), ab2),
             "direct9 int8": lambda xx, c: fused_double_conv_pool(
                 xx + c, w1, ab1, w2, ab2, (2, 2), quantize=True),
             "direct9 bf16": lambda xx, c: fused_double_conv_pool(

@@ -90,8 +90,14 @@ class ConvBlock(nn.Module):
                         and tuple(pool_size) == (2, 2)
                         and x.shape[2] % 2 == 0):
                     # Winograd F(2,3x3) plane kernel: 2.25x fewer MACs
-                    # at identical dot shapes (conv_block_wino.py);
-                    # opt-in until the on-chip numbers beat direct9
+                    # at identical dot shapes (conv_block_wino.py).
+                    # MEASURED DEAD END (2026-08-18, scripts/bench_wino.py):
+                    # at the pool-(2,2) analog of blocks 3-4 wino int8 is
+                    # 2-3x SLOWER than direct9 (15.0 vs 5.2 / 9.6 vs 4.3 ms,
+                    # B=128) — the plane transforms are serialized VPU work
+                    # that never overlaps the MXU dots.  The flagship never
+                    # even reaches here (its blocks 3-4 pool (1,2)); kernel
+                    # kept as a parity-tested experiment.
                     from texttoaudiogrounding_tpu.ops.pallas. \
                         conv_block_wino import (_pick_tpad_tc,
                                                 fused_block_wino)
@@ -302,8 +308,16 @@ class BiGRU(nn.Module):
         xg = jnp.stack([x, jnp.flip(x, axis=1)]).astype(dt)  # [2, B, T, in]
 
         import os
-        if (os.environ.get("TTG_PALLAS_GRU") == "1"
-                and not self.is_initializing()):
+        # f32 (the training path: audio_encoder.py pins gru_dtype=f32 for
+        # train) defaults to the Pallas custom-VJP recurrence on TPU —
+        # measured 140.3 vs 144.2 ms/step bf16-mixed fwd+bwd+adam at
+        # B=128 (912 vs 888 clips/s, scripts/profile_train.py) with
+        # trajectory-identical convergence (scripts/ab_gru_convergence.py).
+        # bf16 serving keeps the grouped scan (Pallas fwd measured 3814
+        # vs 3873 clips/s e2e) unless explicitly opted in.
+        flag = os.environ.get("TTG_PALLAS_GRU",
+                              "1" if dt == jnp.float32 else "0")
+        if flag == "1" and not self.is_initializing():
             from texttoaudiogrounding_tpu.ops.pallas.gru import (
                 bigru_pallas, bigru_pallas_trainable)
             from texttoaudiogrounding_tpu.ops.pallas.logmel import \
