@@ -54,13 +54,19 @@ class GroundingPredictor:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from texttoaudiogrounding_tpu.parallel.kernel_shard import \
+                wrap_calls
             from texttoaudiogrounding_tpu.parallel.mesh import replicate
             rep = replicate(mesh)
             self.variables = jax.device_put(variables, rep)
             data = NamedSharding(mesh, P("data"))
             self._batch_multiple = int(mesh.shape["data"])
-            self._forward = jax.jit(fwd, in_shardings=(rep, data),
-                                    out_shardings=data)
+            # kernel_mesh context: the fused Pallas kernels shard_map
+            # themselves over the data axis instead of forcing operand
+            # replication (parallel/kernel_shard.py)
+            self._forward = wrap_calls(
+                jax.jit(fwd, in_shardings=(rep, data),
+                        out_shardings=data), mesh)
         else:
             self.variables = variables
             self._batch_multiple = 1

@@ -199,17 +199,21 @@ def _conv3(src_ref, w_ref, rows: int, m: int, kp: int, acc_dtype):
     return acc
 
 
-def _kernel(x_ref, w1_ref, w2_ref, ab_ref, out_ref, xp_ref, xc_ref,
-            xc3_ref, y1_ref, y2c_ref, *, t: int, m: int, cin: int,
-            cout: int, pt: int, pm: int, tc: int, quantize: bool,
-            mel3_1: bool, mel3_2: bool):
+def _kernel(x_ref, w1_ref, w2_ref, ab_ref, sx_ref, out_ref, xp_ref,
+            xc_ref, xc3_ref, y1_ref, y2c_ref, *, t: int, m: int,
+            cin: int, cout: int, pt: int, pm: int, tc: int,
+            quantize: bool, mel3_1: bool, mel3_2: bool):
     """Grid = (batch, time chunks).  Chunk ``j`` computes output times
     ``[j*tc, (j+1)*tc)``; the time-padded input copy is built once at
     ``j == 0`` and persists in scratch across the clip's chunks.
 
     ab_ref: [4, cout] f32 = (a1, b1, a2, b2) folded BN affines; for int8
     the per-output-channel weight scales are folded into a1/a2 and the
-    dynamic per-chunk activation scales multiply in inside the kernel."""
+    dynamic per-chunk activation scales multiply in inside the kernel.
+    sx_ref: [b, 1] SMEM per-CLIP input dequant scales (1.0 when the
+    input is not quantized), indexed by program_id(0) — per-clip rather
+    than per-batch so int8 serving is batch-equivariant (a sharded
+    batch bit-matches the full batch)."""
     import jax.experimental.pallas as pl
 
     j = pl.program_id(1)
@@ -247,7 +251,7 @@ def _kernel(x_ref, w1_ref, w2_ref, ab_ref, out_ref, xp_ref, xc_ref,
         acc1 = _conv3(xc3_ref, w1_ref, rows1, m, kp1, acc_dtype)
     else:
         mel1 = jax.lax.broadcasted_iota(jnp.int32, (rows1, 1), 0) % m
-        s1 = 1.0
+        s1 = sx_ref[pl.program_id(0), 0] if quantize else 1.0
         acc1 = _conv9(xc_ref, w1_ref, rows1, m, cin,
                       mel1 != 0, mel1 != m - 1, acc_dtype)
     trow1 = jax.lax.broadcasted_iota(jnp.int32, (rows1, 1), 0) // m
@@ -301,7 +305,7 @@ def fused_double_conv_pool(x: jax.Array, w1: jax.Array, ab1: tuple,
                            tc: int | None = None,
                            mel3: tuple | None = None,
                            compute_dtype: jnp.dtype = jnp.bfloat16,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool | None = None) -> jax.Array:
     """Fused (conv3x3->BN->ReLU)x2 -> dual pool for one PANNs block.
 
     x: ``[B, T, M, Cin]``; w: ``[3, 3, Cin, Cout]`` HWIO; ab: ``(a, b)``
@@ -322,6 +326,20 @@ def fused_double_conv_pool(x: jax.Array, w1: jax.Array, ab1: tuple,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from texttoaudiogrounding_tpu.ops.pallas.logmel import default_interpret
+    from texttoaudiogrounding_tpu.parallel.kernel_shard import (
+        active_kernel_mesh, maybe_shard)
+    if interpret is None:
+        interpret = default_interpret()
+    if active_kernel_mesh() is not None:
+        return maybe_shard(
+            lambda x_, w1_, a1, b1, w2_, a2, b2: fused_double_conv_pool(
+                x_, w1_, (a1, b1), w2_, (a2, b2), pool,
+                quantize=quantize, tc=tc, mel3=mel3,
+                compute_dtype=compute_dtype, interpret=interpret),
+            (x, w1, *ab1, w2, *ab2),
+            (0, None, None, None, None, None, None))
+
     b, t, m, cin = x.shape
     cout = w1.shape[-1]
     pt, pm = pool
@@ -338,20 +356,25 @@ def fused_double_conv_pool(x: jax.Array, w1: jax.Array, ab1: tuple,
     q_dtype = jnp.int8 if quantize else compute_dtype
 
     xf = x.reshape(b, t * m, cin)
-    sx = None
     if quantize and not mel3_1:
-        # direct9 int8 conv1: quantize the input XLA-side (fuses with the
-        # producer) with a per-batch dynamic scale folded into a1; int8
-        # lane dim must be >= 128, so pad Cin with zeros
-        sx = jnp.maximum(jnp.max(jnp.abs(xf.astype(jnp.float32))),
+        # direct9 int8 conv1: quantize the input XLA-side (fuses with
+        # the producer) with a per-CLIP dynamic scale applied inside the
+        # kernel (per-clip, not per-batch, so int8 serving is
+        # batch-equivariant — a sharded batch bit-matches the full
+        # batch — and the quantization grid is finer); int8 lane dim
+        # must be >= 128, so pad Cin with zeros
+        sx = jnp.maximum(jnp.max(jnp.abs(xf.astype(jnp.float32)),
+                                 axis=(1, 2), keepdims=True),
                          1e-6) / 127.0
         xf = _quant_i8(xf.astype(jnp.float32), 1.0 / sx)
+        sxv = sx.reshape(b, 1)
         if cin < 128:
             xf = jnp.pad(xf, ((0, 0), (0, 0), (0, 128 - cin)))
             w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, 128 - cin), (0, 0)))
             cin = 128
         in_dtype = jnp.int8
     else:
+        sxv = jnp.ones((b, 1), jnp.float32)
         xf = xf.astype(in_dtype)
     kp1 = _kpad(3 * cin, quantize) if mel3_1 else cin
     kp2 = _kpad(3 * cout, quantize) if mel3_2 else cout
@@ -361,7 +384,7 @@ def fused_double_conv_pool(x: jax.Array, w1: jax.Array, ab1: tuple,
         s = jnp.maximum(jnp.max(jnp.abs(w1), axis=(0, 1, 2)), 1e-8) / 127.0
         w1f = _quant_i8(w1, 1.0 / s[None, None, None]).reshape(
             9 * cin, cout)
-        sw1 = s * sx
+        sw1 = s  # the per-clip input scale multiplies in-kernel (sx_ref)
     else:
         w1f = w1.astype(compute_dtype).reshape(9 * cin, cout)
         sw1 = None
@@ -403,6 +426,11 @@ def fused_double_conv_pool(x: jax.Array, w1: jax.Array, ab1: tuple,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, cout), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
+            # per-clip scalars: the whole [b, 1] vector in SMEM (blocks
+            # equal to the array dims satisfy the tiling rule; (1, 1)
+            # blocks do not), indexed by program_id(0) in-kernel
+            pl.BlockSpec((b, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, (tc // pt) * (m // pm), cout), lambda i, j: (i, j, 0),
@@ -422,7 +450,7 @@ def fused_double_conv_pool(x: jax.Array, w1: jax.Array, ab1: tuple,
                        q_dtype),                                # y2c
         ],
         interpret=interpret,
-    )(xf, w1f, w2f, ab)
+    )(xf, w1f, w2f, ab, sxv)
     return out.reshape(b, t // pt, m // pm, cout)
 
 

@@ -212,7 +212,7 @@ def fused_block2_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
                       w2: jax.Array, ab2: tuple, *,
                       quantize: bool = False, tc: int | None = None,
                       compute_dtype: jnp.dtype = jnp.bfloat16,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool | None = None) -> jax.Array:
     """Fused (conv3x3->BN->ReLU)x2 -> dual 2x2 pool, Cin=64 parity
     design (reference models/panns.py:20-62 ConvBlock semantics).
 
@@ -223,6 +223,19 @@ def fused_block2_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    from texttoaudiogrounding_tpu.ops.pallas.logmel import default_interpret
+    from texttoaudiogrounding_tpu.parallel.kernel_shard import (
+        active_kernel_mesh, maybe_shard)
+    if interpret is None:
+        interpret = default_interpret()
+    if active_kernel_mesh() is not None:
+        return maybe_shard(
+            lambda x_, w1_, a1, b1, w2_, a2, b2: fused_block2_pair(
+                x_, w1_, (a1, b1), w2_, (a2, b2), quantize=quantize,
+                tc=tc, compute_dtype=compute_dtype, interpret=interpret),
+            (x, w1, *ab1, w2, *ab2),
+            (0, None, None, None, None, None, None))
 
     b, t, m, cin = x.shape
     assert cin == 64 and m % 2 == 0

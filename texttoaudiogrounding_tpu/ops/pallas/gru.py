@@ -60,13 +60,25 @@ def _kernel(proj_ref, wh_ref, bn_ref, out_ref, h0_ref, h1_ref, *,
 
 
 def bigru_pallas(proj: jax.Array, wh: jax.Array, bn: jax.Array, *,
-                 dtype=jnp.float32, interpret: bool = False) -> jax.Array:
+                 dtype=jnp.float32,
+                 interpret: bool | None = None) -> jax.Array:
     """proj ``[T, 2B, 3H]`` (hoisted input projections + bias, f32;
     direction 1 rows time-flipped), wh ``[2, H, 3H]``, bn ``[2, H]`` ->
     ys ``[T, 2B, H]`` f32 (direction 1 still time-flipped; caller
     unflips and concatenates, models/layers.py BiGRU)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    from texttoaudiogrounding_tpu.ops.pallas.logmel import default_interpret
+    from texttoaudiogrounding_tpu.parallel.kernel_shard import (
+        active_kernel_mesh, maybe_shard)
+    if interpret is None:
+        interpret = default_interpret()
+    if active_kernel_mesh() is not None:
+        return _shard_bigru(
+            functools.partial(bigru_pallas, dtype=dtype,
+                              interpret=interpret),
+            proj, wh, bn, maybe_shard)
 
     t, b2, h3 = proj.shape
     b, h = b2 // 2, h3 // 3
@@ -235,12 +247,44 @@ def _bigru_diff_fwd(proj, wh, bn, interpret):
 _bigru_diff.defvjp(_bigru_diff_fwd, _bigru_bwd)
 
 
+def _shard_bigru(entry, proj, wh, bn, maybe_shard):
+    """Batch-shard a BiGRU entry over the active kernel mesh.
+
+    The ``[T, 2B, 3H]`` row layout interleaves the two directions at the
+    B boundary, so the 2B dim cannot be sharded directly; reshape to
+    ``[T, 2, B, 3H]``, shard dim 2, and re-flatten per shard (each
+    device then holds both directions of its own batch slice)."""
+    t, b2, h3 = proj.shape
+    b, h = b2 // 2, h3 // 3
+
+    def f4(p4, wh, bn):
+        tl, g, bl, _ = p4.shape
+        return entry(p4.reshape(tl, g * bl, h3), wh, bn).reshape(
+            tl, g, bl, h)
+
+    out = maybe_shard(f4, (proj.reshape(t, 2, b, h3), wh, bn),
+                      (2, None, None), out_dim=2)
+    return out.reshape(t, b2, h)
+
+
 def bigru_pallas_trainable(proj: jax.Array, wh: jax.Array,
                            bn: jax.Array, *,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool | None = None) -> jax.Array:
     """f32 BiGRU recurrence with a Pallas backward (custom VJP).
 
     Same contract as :func:`bigru_pallas`; gradients flow to ``proj``
     (and through it to the inputs and input-projection weights via the
-    XLA einsum), ``wh`` and ``bn``."""
+    XLA einsum), ``wh`` and ``bn``.  Under an active kernel mesh the
+    call is batch-shard_mapped; the shard_map transpose psums the
+    replicated ``wh``/``bn`` cotangents over the axis
+    (tests/test_kernel_shard.py pins this)."""
+    from texttoaudiogrounding_tpu.ops.pallas.logmel import default_interpret
+    from texttoaudiogrounding_tpu.parallel.kernel_shard import (
+        active_kernel_mesh, maybe_shard)
+    if interpret is None:
+        interpret = default_interpret()
+    if active_kernel_mesh() is not None:
+        return _shard_bigru(
+            functools.partial(bigru_pallas_trainable, interpret=interpret),
+            proj, wh, bn, maybe_shard)
     return _bigru_diff(proj, wh, bn, interpret)

@@ -32,6 +32,7 @@ remains the fallback and the numerical reference.  Measured v5e, B=128 x
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,8 +46,17 @@ from texttoaudiogrounding_tpu.ops.frontend import (
 )
 
 
+def default_interpret() -> bool:
+    """``TTG_PALLAS_INTERPRET=1`` runs every Pallas kernel in interpret
+    mode — the CI hook that lets the CPU mesh exercise the full fused
+    routing (model gating + kernel math) without a TPU."""
+    return os.environ.get("TTG_PALLAS_INTERPRET") == "1"
+
+
 def pallas_supported() -> bool:
-    """Fused kernel requires a TPU backend (Mosaic)."""
+    """Fused kernels require a TPU backend (Mosaic) — or interpret mode."""
+    if default_interpret():
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover - backend probing
@@ -118,6 +128,131 @@ def _kernel(rows_a, rows_b, real_ref, imag_ref, fb_ref, out_ref, acc_ref,
     def _():
         out_ref[:] = (10.0 / np.log(10.0)) * jnp.log(
             jnp.maximum(acc_ref[:], amin))
+
+
+def _v4_kernel(rows_a, rows_b, real_ref, imag_ref, fb_ref, out_ref,
+               re_s, im_s, *, tile_r: int, hop: int, j_parts: int,
+               amin: float):
+    """Software-pipelined variant: the VPU/epilogue work (power, mel
+    dot, dB) for block ``g-1`` runs while the MXU DFT dots for block
+    ``g`` are in flight — the two halves touch different ping-pong
+    scratch slots, so the scheduler can overlap them (the serialized
+    epilogue is ~40% of the shipped kernel's step time, STATUS.md).
+    Grid = (n_blocks + 1,): step 0 only produces, the last step only
+    consumes; out block g-1 is written at step g (index map lags)."""
+    from jax.experimental import pallas as pl
+
+    g = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = g % 2
+
+    @pl.when(g < n - 1)
+    def _():
+        rows = jnp.concatenate([rows_a[:], rows_b[:]], axis=0)
+        real = jnp.zeros((tile_r, real_ref.shape[1]), jnp.float32)
+        imag = jnp.zeros_like(real)
+        for j in range(j_parts):
+            part = rows[j:j + tile_r]                    # sublane shift
+            real += jnp.dot(part, real_ref[j * hop:(j + 1) * hop, :],
+                            preferred_element_type=jnp.float32)
+            imag += jnp.dot(part, imag_ref[j * hop:(j + 1) * hop, :],
+                            preferred_element_type=jnp.float32)
+        re_s[slot] = real
+        im_s[slot] = imag
+
+    @pl.when(g > 0)
+    def _():
+        prev = (g + 1) % 2
+        re = re_s[prev]
+        im = im_s[prev]
+        power = re * re + im * im
+        mel = jnp.dot(power, fb_ref[:],
+                      preferred_element_type=jnp.float32)
+        out_ref[:] = (10.0 / np.log(10.0)) * jnp.log(
+            jnp.maximum(mel, amin))
+
+
+def fused_log_mel_spectrogram_v4(waveform: jax.Array, cfg: LogMelConfig,
+                                 tile_r: int = 256,
+                                 interpret: bool | None = None
+                                 ) -> jax.Array:
+    """Pipelined-epilogue variant of :func:`fused_log_mel_spectrogram`
+    (identical math and framing; single-f-tile configs only — the
+    flagship Cnn8Rnn geometry).  Default tile_r=256: the ping-pong
+    re/im scratch costs 4 * tile_r * f_pad bytes on top of the shipped
+    kernel's budget, and tile_r=512 exceeds the 16 MB scoped-vmem limit
+    (measured OOM at 17.89 MB)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if cfg.top_db is not None:
+        raise NotImplementedError("fused kernel supports top_db=None only")
+
+    from texttoaudiogrounding_tpu.parallel.kernel_shard import (
+        active_kernel_mesh, maybe_shard)
+    if interpret is None:
+        interpret = default_interpret()
+    if active_kernel_mesh() is not None:
+        return maybe_shard(
+            lambda w: fused_log_mel_spectrogram_v4(
+                w, cfg, tile_r, interpret=interpret),
+            (waveform,), (0,))
+
+    hop = cfg.hop_length
+    j_parts = -(-cfg.n_fft // hop)
+    k_pad = j_parts * hop
+
+    b, n = waveform.shape
+    t = num_frames(n, cfg.hop_length)
+    r = _round_up(t + j_parts, tile_r)
+
+    pad = cfg.n_fft // 2
+    x = jnp.pad(waveform.astype(jnp.float32), ((0, 0), (pad, pad)),
+                mode="reflect")
+    need = r * hop
+    if x.shape[1] < need:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+    else:
+        x = x[:, :need]
+    rows = x.reshape(b * r, hop).astype(jnp.bfloat16)
+
+    real, imag, fb, f_tile = _trimmed_basis(cfg, k_pad)
+    f_pad = real.shape[1]
+    if f_tile != f_pad:
+        raise ValueError("v4 requires a single f tile "
+                         f"(f_tile {f_tile} != f_pad {f_pad})")
+    n_blocks = (b * r) // tile_r
+
+    out = pl.pallas_call(
+        functools.partial(_v4_kernel, tile_r=tile_r, hop=hop,
+                          j_parts=j_parts, amin=cfg.amin),
+        grid=(n_blocks + 1,),
+        in_specs=[
+            pl.BlockSpec((tile_r, hop),
+                         lambda g: (jnp.minimum(g, n_blocks - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, hop),
+                         lambda g: (jnp.minimum(g + 1, n_blocks - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, f_pad), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, f_pad), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_pad, fb.shape[1]), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_r, cfg.n_mels),
+                               lambda g: (jnp.maximum(g - 1, 0), 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * r, cfg.n_mels), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, tile_r, f_pad), jnp.float32),
+                        pltpu.VMEM((2, tile_r, f_pad), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(rows, rows, jnp.asarray(real, jnp.bfloat16),
+      jnp.asarray(imag, jnp.bfloat16), jnp.asarray(fb))
+    return out.reshape(b, r, cfg.n_mels)[:, :t]
 
 
 @functools.lru_cache(maxsize=8)
@@ -211,7 +346,7 @@ def _xla_log_mel(waveform: jax.Array, cfg: LogMelConfig) -> jax.Array:
 def fused_log_mel_spectrogram_v3(waveform: jax.Array,
                                  cfg: LogMelConfig,
                                  tile_r: int = 256,
-                                 interpret: bool = False) -> jax.Array:
+                                 interpret: bool | None = None) -> jax.Array:
     """``[B, N] -> [B, T, n_mels]``, shifted-basis fused kernel.
 
     v3 of the fused frontend: the waveform is reshaped ``[B, R, hop]``
@@ -226,6 +361,16 @@ def fused_log_mel_spectrogram_v3(waveform: jax.Array,
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    from texttoaudiogrounding_tpu.parallel.kernel_shard import (
+        active_kernel_mesh, maybe_shard)
+    if interpret is None:
+        interpret = default_interpret()
+    if active_kernel_mesh() is not None:
+        return maybe_shard(
+            lambda w: fused_log_mel_spectrogram_v3(
+                w, cfg, tile_r, interpret=interpret),
+            (waveform,), (0,))
 
     hop = cfg.hop_length
     n_fft = cfg.n_fft
@@ -287,7 +432,8 @@ def fused_log_mel_spectrogram_v3(waveform: jax.Array,
 
 
 def fused_log_mel_spectrogram(waveform: jax.Array, cfg: LogMelConfig,
-                              tile_r: int = 512) -> jax.Array:
+                              tile_r: int = 512,
+                              interpret: bool | None = None) -> jax.Array:
     """``[B, N] -> [B, T, n_mels]`` log-mel via the fused Pallas kernel.
 
     Matches :func:`ops.frontend.log_mel_spectrogram` to ~0.03 dB (bf16
@@ -299,6 +445,16 @@ def fused_log_mel_spectrogram(waveform: jax.Array, cfg: LogMelConfig,
 
     if cfg.top_db is not None:
         raise NotImplementedError("fused kernel supports top_db=None only")
+
+    from texttoaudiogrounding_tpu.parallel.kernel_shard import (
+        active_kernel_mesh, maybe_shard)
+    if interpret is None:
+        interpret = default_interpret()
+    if active_kernel_mesh() is not None:
+        return maybe_shard(
+            lambda w: fused_log_mel_spectrogram(
+                w, cfg, tile_r, interpret=interpret),
+            (waveform,), (0,))
 
     hop = cfg.hop_length
     j_parts = -(-cfg.n_fft // hop)
@@ -348,6 +504,7 @@ def fused_log_mel_spectrogram(waveform: jax.Array, cfg: LogMelConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * r, cfg.n_mels), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tile_r, cfg.n_mels), jnp.float32)],
+        interpret=interpret,
     )(rows, rows, jnp.asarray(real, jnp.bfloat16),
       jnp.asarray(imag, jnp.bfloat16), jnp.asarray(fb))
     return out.reshape(b, r, cfg.n_mels)[:, :t]

@@ -21,6 +21,7 @@ import numpy as np
 import optax
 import yaml
 
+from texttoaudiogrounding_tpu.parallel.kernel_shard import wrap_calls
 from texttoaudiogrounding_tpu.parallel.mesh import (
     batch_sharding,
     device_feed,
@@ -225,9 +226,10 @@ class BaseRunner:
         state_sh = getattr(self, "_state_sh", None)
         if state_sh is None:
             state_sh = rep
-        return jax.jit(train_step, donate_argnums=(0,),
-                       in_shardings=(state_sh, None, rep),
-                       out_shardings=(state_sh, rep))
+        return wrap_calls(
+            jax.jit(train_step, donate_argnums=(0,),
+                    in_shardings=(state_sh, None, rep),
+                    out_shardings=(state_sh, rep)), mesh)
 
     def make_val_step(self, model, loss_fn, output_transform: Callable):
         mesh = self.mesh
@@ -247,8 +249,9 @@ class BaseRunner:
         state_sh = getattr(self, "_state_sh", None)
         if state_sh is None:
             state_sh = rep
-        return jax.jit(val_step, in_shardings=(state_sh, None),
-                       out_shardings=rep)
+        return wrap_calls(
+            jax.jit(val_step, in_shardings=(state_sh, None),
+                    out_shardings=rep), mesh)
 
     def make_forward(self, model):
         mesh = self.mesh
@@ -263,7 +266,8 @@ class BaseRunner:
             return model.apply(variables, batch, train=False)
 
         del data
-        return jax.jit(forward, in_shardings=(rep, None))
+        return wrap_calls(jax.jit(forward, in_shardings=(rep, None)),
+                          mesh)
 
     # ------------------------------------------------------------ main loop
     def setup(self, config, overrides=None, **kwargs):
