@@ -178,9 +178,13 @@ def fused_log_mel_spectrogram_v4(waveform: jax.Array, cfg: LogMelConfig,
                                  ) -> jax.Array:
     """Pipelined-epilogue variant of :func:`fused_log_mel_spectrogram`
     (identical math and framing; single-f-tile configs only — the
-    flagship Cnn8Rnn geometry).  Default tile_r=256: the ping-pong
-    re/im scratch costs 4 * tile_r * f_pad bytes on top of the shipped
-    kernel's budget, and tile_r=512 exceeds the 16 MB scoped-vmem limit
+    flagship Cnn8Rnn geometry).  NOT routed: measured 4.36 ms vs the
+    shipped kernel's 4.28 at B=128 (scripts/bench_logmel_v4.py) —
+    Mosaic does not overlap the deferred VPU epilogue with the next
+    block's MXU dots, so the pipeline buys nothing; kept as a bit-exact
+    parity experiment.  Default tile_r=256: the ping-pong re/im scratch
+    costs 4 * tile_r * f_pad bytes on top of the shipped kernel's
+    budget, and tile_r=512 exceeds the 16 MB scoped-vmem limit
     (measured OOM at 17.89 MB)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
