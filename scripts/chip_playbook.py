@@ -50,21 +50,31 @@ def main():
         log.flush()
 
     emit(f"==== chip playbook {mode} @ {time.ctime()} ====")
-    for name, env, cmd, tmo in steps:
+    for idx, (name, env, cmd, tmo) in enumerate(steps):
         emit(f"\n---- {name}: {' '.join(cmd)} env={env} ----")
         t0 = time.time()
-        try:
-            out = subprocess.run(
+        # NEVER timeout-kill a TPU-claiming child (subprocess.run's
+        # timeout SIGKILLs it mid-claim, which wedges the host-side
+        # axon relay — CLAUDE.md).  Run it to completion; past the
+        # soft deadline just warn and keep waiting (the next step
+        # would block on the device claim anyway).
+        step_log = f"/tmp/chip_playbook_step{idx}.log"
+        with open(step_log, "w") as lf:
+            proc = subprocess.Popen(
                 cmd, env={**os.environ, **env}, cwd="/root/repo",
-                capture_output=True, text=True, timeout=tmo)
-            emit(out.stdout.strip())
-            if out.returncode != 0:
-                emit(f"[exit {out.returncode}] stderr tail:\n"
-                     + "\n".join(out.stderr.strip().splitlines()[-15:]))
-        except subprocess.TimeoutExpired:
-            emit(f"[TIMEOUT after {tmo}s — leaving remaining steps; the "
-                 f"tunnel may have wedged again]")
-            break
+                stdout=lf, stderr=subprocess.STDOUT, text=True)
+            warned = False
+            while proc.poll() is None:
+                if not warned and time.time() - t0 > tmo:
+                    emit(f"[soft deadline {tmo}s passed — NOT killing "
+                         f"(mid-claim SIGKILL wedges the tunnel); "
+                         f"still waiting, log: {step_log}]")
+                    warned = True
+                time.sleep(5)
+        tail = open(step_log).read().strip().splitlines()
+        emit("\n".join(tail[-25:]))
+        if proc.returncode != 0:
+            emit(f"[exit {proc.returncode}]")
         emit(f"[{time.time() - t0:.0f}s]")
 
 

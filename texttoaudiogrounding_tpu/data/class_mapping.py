@@ -109,6 +109,7 @@ class ASMappingWeakDataset(_EmbeddingMapMixin, Dataset):
                               if max_audio_length is not None else None)
         self.sample_rate = sample_rate
         self.rng = np.random.default_rng(seed)
+        self._seed = seed
         if min_sim_percent is not None:
             if self.thresholds is not None:
                 raise ValueError(
@@ -332,6 +333,7 @@ class KmeansMappingDataset(_KmeansMixin, Dataset):
         self.max_audio_len = (int(max_audio_length * sample_rate)
                               if max_audio_length is not None else None)
         self.rng = np.random.default_rng(seed)
+        self._seed = seed
 
     def __getitem__(self, index):
         item = self.data[index]
@@ -443,6 +445,7 @@ class SpectralMappingDataset(Dataset):
         self.max_audio_len = (int(max_audio_length * sample_rate)
                               if max_audio_length is not None else None)
         self.rng = np.random.default_rng(seed)
+        self._seed = seed
 
     def __getitem__(self, index):
         item = self.data[index]

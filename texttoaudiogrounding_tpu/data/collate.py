@@ -43,11 +43,18 @@ def pad_sequence(data: list[np.ndarray], pad_to: int | None = None,
     lens = np.array([a.shape[0] for a in arrs], dtype=np.int64)
     t = int(lens.max()) if pad_to is None else pad_to
     t = round_up(max(t, 1), bucket)
+    # batch dtype: rows agree in the common case; a corpus mixing f16-
+    # packed and f32 HDF5 sources must NOT downcast f32 rows (nor
+    # flip-flop the batch dtype with whichever clip lands first, which
+    # would retrace jit) — promote to the common type instead
+    dt = arrs[0].dtype
+    if any(a.dtype != dt for a in arrs):
+        dt = np.result_type(*[a.dtype for a in arrs])
     # np.empty + per-row tail zeroing instead of np.zeros: full-length
     # rows (the common case for fixed-duration clips) then cost ONE
     # memcpy instead of two full writes — this pad is on the loader's
     # critical path at ~82 MB per B=128 waveform batch
-    out = np.empty((len(arrs), t) + arrs[0].shape[1:], dtype=arrs[0].dtype)
+    out = np.empty((len(arrs), t) + arrs[0].shape[1:], dtype=dt)
     if out.nbytes > (1 << 20) and _pack_native(out, arrs, t):
         return out, np.minimum(lens, t)
     for i, a in enumerate(arrs):

@@ -26,6 +26,7 @@ import numpy as np
 
 from texttoaudiogrounding_tpu.data.h5io import (
     AudioReadMixin,
+    as_wire,
     load_dict_from_csv,
     read_from_h5,
 )
@@ -39,6 +40,16 @@ class Dataset:
     def __getitem__(self, index):
         raise NotImplementedError
 
+    def reseed(self, salt: int) -> None:
+        """Re-derive ``self.rng`` deterministically from the construction
+        seed + ``salt`` (per-epoch in thread loaders, per-task in process
+        workers — data/loader.py).  Without this, forkserver workers
+        unpickle identical rng states and draw correlated crops/negatives.
+        No-op for datasets without an rng."""
+        if hasattr(self, "rng"):
+            self.rng = np.random.default_rng(
+                getattr(self, "_seed", 0) + salt)
+
     def __getstate__(self):
         # open h5py handles don't pickle; process-worker loaders re-open
         # lazily in the child (read_from_h5 repopulates the cache)
@@ -49,17 +60,8 @@ class Dataset:
         return state
 
 
-def _as_wire(waveform) -> np.ndarray:
-    """Keep float16-packed waveforms (tools/pack_waveform.py stores f16,
-    mirroring reference utils/data/prepare_wav_csv.py's packed HDF5) in
-    their storage dtype through collate and host→device transfer — this
-    halves host memcpy and wire bytes; the jitted steps upcast on device
-    (runner_base.upcast_wire), so values are bit-identical to a host-side
-    upcast.  Anything else (raw wav float64, int PCM) normalizes to f32."""
-    arr = np.asarray(waveform)
-    if arr.dtype == np.float16:
-        return arr
-    return arr.astype(np.float32, copy=False)
+# the single wire-format policy lives in h5io (AudioReadMixin shares it)
+_as_wire = as_wire
 
 
 def _load_label(label) -> list:
@@ -517,6 +519,7 @@ class AudioCaptionDataset(Dataset):
                               if max_audio_length is not None else None)
         self.max_cap_length = max_cap_length
         self.rng = np.random.default_rng(seed)
+        self._seed = seed
 
     def __getitem__(self, index):
         item = self.data[index]

@@ -14,6 +14,22 @@ import numpy as np
 import pandas as pd
 
 
+def as_wire(waveform) -> np.ndarray:
+    """Keep float16-packed waveforms (tools/pack_waveform.py stores f16,
+    mirroring reference utils/data/prepare_wav_csv.py's packed HDF5) in
+    their storage dtype through collate and host→device transfer — this
+    halves host memcpy and wire bytes; the jitted steps upcast on device
+    (runner_base.upcast_wire), so values are bit-identical to a host-side
+    upcast.  Anything else (raw wav float64, int PCM) normalizes to f32.
+
+    The single wire-format policy for every dataset family (the dict
+    datasets import it as ``_as_wire``; AudioReadMixin calls it too)."""
+    arr = np.asarray(waveform)
+    if arr.dtype == np.float16:
+        return arr
+    return arr.astype(np.float32, copy=False)
+
+
 def load_dict_from_csv(csv: str, cols: tuple) -> dict:
     """Two-column TSV → dict (reference utils/train_util.py:24-27)."""
     df = pd.read_csv(csv, sep="\t")
@@ -83,8 +99,4 @@ class AudioReadMixin:
             waveform = read_from_h5(audio_id, file_path, self.h5_cache)
         else:
             waveform = load_wav(file_path, self.sample_rate)
-        # f16-packed HDF5 stays f16 on the wire (see datasets._as_wire)
-        arr = np.asarray(waveform)
-        if arr.dtype == np.float16:
-            return arr
-        return arr.astype(np.float32, copy=False)
+        return as_wire(waveform)

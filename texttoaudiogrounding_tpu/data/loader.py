@@ -267,6 +267,7 @@ class DataLoader:
                         continue
                     if status == "error":
                         _shutdown_procs(procs, task_q)
+                        _drain_results(result_q)
                         self._procs = None
                         raise RuntimeError(
                             f"DataLoader worker failed on batch "
@@ -294,6 +295,19 @@ class DataLoader:
         from concurrent.futures import ThreadPoolExecutor
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer abandoned the
+            # iterator (break / exception mid-epoch), so the producer
+            # thread can't stay blocked holding prefetched batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             window = self.num_workers + self.prefetch
@@ -302,22 +316,47 @@ class DataLoader:
                            for idxs in batches[:window]]
                 next_idx = window
                 for i in range(len(batches)):
-                    q.put(futures[i].result())  # blocks when queue is full
+                    if not put(futures[i].result()):
+                        for f in futures[i + 1:]:
+                            f.cancel()
+                        return
                     if next_idx < len(batches):
                         futures.append(
                             pool.submit(self._make_batch,
                                         batches[next_idx]))
                         next_idx += 1
-            q.put(sentinel)
+            put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:  # pragma: no cover - race
+                    break
+            thread.join()
+
+
+def _drain_results(result_q):
+    """After a worker failure, in-flight "ok" results still in the
+    queue hold /dev/shm segments that nobody will ever unpack — unlink
+    them so repeated catch-and-retry doesn't exhaust /dev/shm.  Called
+    after :func:`_shutdown_procs` (workers joined, no more publishes)."""
+    while True:
+        try:
+            _, status, payload = result_q.get(timeout=0.5)
+        except Exception:  # queue.Empty or a torn-down queue
+            return
+        if status == "ok":
+            _shm_discard(payload)
 
 
 def _shutdown_procs(procs, task_q):

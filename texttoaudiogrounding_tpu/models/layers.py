@@ -69,6 +69,11 @@ class ConvBlock(nn.Module):
                         p["conv2"]["kernel"], ab2, quantize=quantize,
                         compute_dtype=self.dtype)
                 ok = False
+            elif x.shape[3] == 64:
+                # Cin=64 outside the pair geometry (pool != (2,2), odd
+                # M, Cout % 128): the generic kernel's banded dots lose
+                # to XLA at this channel count (STATUS.md) — XLA, not it
+                ok = False
             else:
                 try:
                     _pick_tc(x.shape[1], x.shape[2], x.shape[3],

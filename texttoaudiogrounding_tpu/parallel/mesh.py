@@ -206,26 +206,53 @@ def device_feed(batches: Iterable, mesh: Mesh, multiple: int,
     """
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
     sentinel = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        # bounded put that aborts when the consumer has gone away, so
+        # an exception in the training loop can't leave this thread
+        # blocked forever holding `depth` device batches
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for host_batch in batches:
+                if stop.is_set():
+                    return
                 arr = prepare(host_batch) if prepare else host_batch
                 arr, real_bs = pad_batch_to_multiple(arr, multiple)
                 dev = global_batch_from_local(arr, mesh)
-                q.put((dev, host_batch, real_bs))
+                if not put((dev, host_batch, real_bs)):
+                    return
         except BaseException as exc:  # noqa: BLE001 — re-raised below
-            q.put(exc)
+            put(exc)
             return
-        q.put(sentinel)
+        put(sentinel)
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    thread.join()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer aborted (step exception, generator close) or epoch
+        # done: unblock + drain the producer so prefetched device
+        # buffers are released promptly
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:  # pragma: no cover - race with worker
+                break
+        thread.join()

@@ -266,7 +266,13 @@ class BaseRunner:
             return model.apply(variables, batch, train=False)
 
         del data
-        return wrap_calls(jax.jit(forward, in_shardings=(rep, None)),
+        # same state shardings as the train/val steps: under
+        # parallel.rules a replicated in_sharding here would re-gather
+        # the tensor-sharded params on every eval forward
+        state_sh = getattr(self, "_state_sh", None)
+        if state_sh is None:
+            state_sh = rep
+        return wrap_calls(jax.jit(forward, in_shardings=(state_sh, None)),
                           mesh)
 
     # ------------------------------------------------------------ main loop
@@ -475,7 +481,8 @@ class BaseRunner:
             from texttoaudiogrounding_tpu.training.train_state import \
                 merge_matched_params
             rng = jax.random.PRNGKey(self.config.get("seed", 1))
-            init_batch = array_batch(sample_batch)
+            # upcast the f16 wire format before init, like init_state
+            init_batch = upcast_wire(array_batch(sample_batch))
             # MultiText models expect a phrase axis (same unsqueeze as
             # eval_inference; reference run_weak_phrase.py:48-50)
             for key in getattr(model, "text_forward_keys", ()):
