@@ -329,3 +329,97 @@ def test_process_worker_loader_survives_abandoned_iteration(tmp_path):
     assert len(full) == len(expect)
     for bp, bt in zip(full, expect):
         np.testing.assert_array_equal(bp["waveform"], bt["waveform"])
+
+
+def test_pad_sequence_mixed_dtype_promotes():
+    """A corpus mixing f16-packed and f32 HDF5 sources must not
+    truncate f32 rows to f16, nor flip-flop the batch dtype with
+    whichever clip lands first (that would retrace jit per batch)."""
+    from texttoaudiogrounding_tpu.data.collate import pad_sequence
+
+    f16 = np.arange(6, dtype=np.float16)
+    f32 = (np.arange(8, dtype=np.float32) + 0.123456789)
+    out_a, _ = pad_sequence([f16, f32])
+    out_b, _ = pad_sequence([f32, f16])
+    assert out_a.dtype == out_b.dtype == np.float32
+    np.testing.assert_array_equal(out_a[1][:8], f32)
+    np.testing.assert_array_equal(out_b[0][:8], f32)
+    # all-f16 batches stay f16 (the wire-format fast path)
+    out_c, _ = pad_sequence([f16, f16])
+    assert out_c.dtype == np.float16
+
+
+def test_dataset_reseed_deterministic_and_decorrelated():
+    """Base Dataset.reseed: same salt -> same stream (a batch draws the
+    same randoms no matter which worker runs it), different salts ->
+    different streams (forkserver workers don't draw in lockstep)."""
+    from texttoaudiogrounding_tpu.data.datasets import Dataset
+
+    class WithRng(Dataset):
+        def __init__(self):
+            self.rng = np.random.default_rng(7)
+            self._seed = 7
+
+    a, b = WithRng(), WithRng()
+    a.reseed(3)
+    b.reseed(3)
+    np.testing.assert_array_equal(a.rng.random(4), b.rng.random(4))
+    a.reseed(3)
+    b.reseed(4)
+    assert not np.allclose(a.rng.random(4), b.rng.random(4))
+    Dataset.reseed(object.__new__(Dataset), 1)  # rng-less: a no-op
+
+
+def test_device_feed_consumer_abort_releases_producer(data_dir):
+    """Closing the device_feed generator mid-epoch (step exception,
+    break) must terminate the producer thread instead of leaving it
+    blocked on the queue holding prefetched device batches."""
+    import threading
+    import time
+
+    import jax
+
+    from texttoaudiogrounding_tpu.parallel.mesh import device_feed, get_mesh
+    from texttoaudiogrounding_tpu.training.runner_base import array_batch
+
+    tok = DictTokenizer(data_dir["vocab"])
+    ds = AudioPhraseDataset(str(data_dir["wav_csv"]),
+                            str(data_dir["label"]), time_resolution=0.04)
+    collate = TextCollate(tokenizer=tok, text_key="phrase",
+                          pad_keys=["waveform", "label"],
+                          pad_buckets={"waveform": 32000})
+    batches = list(DataLoader(ds, batch_size=1, collate_fn=collate))
+    assert len(batches) >= 3
+    mesh = get_mesh(jax.devices()[:1])
+
+    before = threading.active_count()
+    it = device_feed(iter(batches * 4), mesh, 1, prepare=array_batch)
+    next(it)
+    it.close()  # GeneratorExit at the yield -> finally must reap
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_thread_loader_abandoned_iteration_stops_producer(data_dir):
+    """Breaking out of a thread-mode DataLoader mid-epoch must stop the
+    producer thread; the next epoch iterates fully."""
+    import threading
+    import time
+
+    tok = DictTokenizer(data_dir["vocab"])
+    ds = AudioPhraseDataset(str(data_dir["wav_csv"]),
+                            str(data_dir["label"]), time_resolution=0.04)
+    collate = TextCollate(tokenizer=tok, text_key="phrase",
+                          pad_keys=["waveform", "label"])
+    loader = DataLoader(ds, batch_size=1, collate_fn=collate,
+                        num_workers=2, prefetch=1)
+    before = threading.active_count()
+    for batch in loader:
+        break  # abandon with prefetched batches in flight
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    assert len(list(loader)) == len(ds)

@@ -177,3 +177,24 @@ def test_registry_instantiate_model_tree():
     model = instantiate(cfg)
     assert isinstance(model, BiEncoder)
     assert model.audio_encoder.sample_rate == SR
+
+
+def test_convblock_cin64_nonpair_geometry_stays_on_xla(monkeypatch):
+    """Cin=64 blocks outside the pair-kernel geometry (Cout % 128 != 0
+    here) must fall back to XLA — the generic fused kernel's banded
+    dots measured SLOWER than XLA at 64 channels (STATUS.md), so
+    routing it would be a perf regression the e2e bench can't see."""
+    import texttoaudiogrounding_tpu.ops.pallas.conv_block as CB
+    from texttoaudiogrounding_tpu.models.layers import ConvBlock
+
+    def forbidden(*a, **k):
+        raise AssertionError("generic fused kernel routed for Cin=64")
+
+    monkeypatch.setattr(CB, "fused_double_conv_pool", forbidden)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 64)),
+                    jnp.float32)
+    block = ConvBlock(out_channels=192)
+    variables = block.init({"params": jax.random.PRNGKey(0)}, x,
+                           bn_train=False)
+    out = block.apply(variables, x, bn_train=False, fused="int8")
+    assert out.shape == (2, 4, 4, 192)
