@@ -81,6 +81,8 @@ def main(argv=None):
         # export <experiment_path> to a standalone deployment dir:
         #   ... export --experiment_path EXP --output OUT [which]
         from texttoaudiogrounding_tpu.deployment import export_deployment
+        if not args.output:
+            parser.error("export requires --output (deployment dir)")
         out = export_deployment(args.experiment_path, args.output,
                                 which=args.command or "best")
         print(f"exported deployment -> {out}")

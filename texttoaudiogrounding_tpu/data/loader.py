@@ -260,7 +260,21 @@ class DataLoader:
             next_yield = 0
             while next_yield < len(batches):
                 while base + next_yield not in pending:
-                    seq, status, payload = result_q.get()
+                    try:
+                        seq, status, payload = result_q.get(timeout=5.0)
+                    except queue.Empty:
+                        # liveness: an OOM-killed/segfaulted worker
+                        # (native pack, h5py) posts nothing — without
+                        # this check the loader would wait forever
+                        dead = [p for p in procs if not p.is_alive()]
+                        if dead:
+                            _shutdown_procs(procs, task_q)
+                            _drain_results(result_q)
+                            self._procs = None
+                            raise RuntimeError(
+                                "DataLoader worker process died "
+                                f"(exitcode {dead[0].exitcode})")
+                        continue
                     if seq < base:  # stale result from an abandoned epoch
                         if status == "ok":
                             _shm_discard(payload)
@@ -293,56 +307,27 @@ class DataLoader:
             return
 
         from concurrent.futures import ThreadPoolExecutor
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
-        stop = threading.Event()
 
-        def put(item) -> bool:
-            # bounded put that gives up when the consumer abandoned the
-            # iterator (break / exception mid-epoch), so the producer
-            # thread can't stay blocked holding prefetched batches
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.2)
-                    return True
-                except queue.Full:
-                    continue
-            return False
+        from texttoaudiogrounding_tpu.utils.prefetch import ProducerThread
 
-        def producer():
+        def produce():
             window = self.num_workers + self.prefetch
             with ThreadPoolExecutor(self.num_workers) as pool:
                 futures = [pool.submit(self._make_batch, idxs)
                            for idxs in batches[:window]]
                 next_idx = window
                 for i in range(len(batches)):
-                    if not put(futures[i].result()):
-                        for f in futures[i + 1:]:
-                            f.cancel()
-                        return
+                    # .result() re-raises dataset/collate errors; the
+                    # ProducerThread forwards them to the consumer's
+                    # next() (previously a missing sentinel hung it)
+                    yield futures[i].result()
                     if next_idx < len(batches):
                         futures.append(
                             pool.submit(self._make_batch,
                                         batches[next_idx]))
                         next_idx += 1
-            put(sentinel)
 
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-        try:
-            while True:
-                item = q.get()
-                if item is sentinel:
-                    break
-                yield item
-        finally:
-            stop.set()
-            while not q.empty():
-                try:
-                    q.get_nowait()
-                except queue.Empty:  # pragma: no cover - race
-                    break
-            thread.join()
+        yield from ProducerThread(produce, maxsize=self.prefetch)
 
 
 def _drain_results(result_q):

@@ -12,10 +12,10 @@ equivalent here is a directory::
       weights.npz     # flat param/batch-stat arrays (no orbax tree)
       vocabulary.pkl  # (DictTokenizer only) the vocabulary payload
 
-which :meth:`GroundingPredictor.from_deployment` reconstructs with zero
-references to the training experiment (configs, checkpoints, data
-paths).  The import direction (HF torch checkpoint -> native) lives in
-training/torch_import.py.
+which :func:`predictor_from_deployment` reconstructs (as a
+``GroundingPredictor``) with zero references to the training experiment
+(configs, checkpoints, data paths).  The import direction (HF torch
+checkpoint -> native) lives in training/torch_import.py.
 """
 
 from __future__ import annotations

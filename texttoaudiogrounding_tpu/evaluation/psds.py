@@ -422,33 +422,35 @@ def exact_psd_roc(scores: Dict[str, pd.DataFrame],
             num_gts[label] += 1
             gt_dur[label] += off - on
 
+    use_ct = cttc_threshold > 0.0 and alpha_ct != 0.0
     per_class_points = {}
     for cls in classes:
         taus_all, tp_all, fp_all = [], [], []
-        ct_all = {c: [] for c in classes if c != cls}
+        ct_all = {c: [] for c in classes if c != cls} if use_ct else {}
         for fname, df in scores.items():
             if cls not in df.columns:
                 continue
             score = df[cls].values
             timestamps = np.r_[df["onset"].values, df["offset"].values[-1]]
             by_c = gt_by_fc.get(fname, {})
-            if cttc_threshold == 0.0 or alpha_ct == 0.0:
+            if not use_ct:
                 # no cross-trigger term: the fast (native-accelerated)
-                # single-class change-point sweep is exact here
+                # single-class change-point sweep is exact here, and
+                # the C-1 all-zero CT curves are skipped entirely (not
+                # merged and discarded)
                 taus, tps, fps = _file_count_curves(
                     score, timestamps, by_c.get(cls, []),
                     dtc_threshold, gtc_threshold)
-                cts = {c: np.zeros(len(taus), np.int64) for c in ct_all}
             else:
                 taus, tps, fps, cts = _file_count_curves_mc(
                     score, timestamps, by_c.get(cls, []),
                     {c: by_c.get(c, []) for c in ct_all},
                     dtc_threshold, gtc_threshold, cttc_threshold)
+                for c in ct_all:
+                    ct_all[c].append(cts[c])
             taus_all.append(taus)
             tp_all.append(tps)
             fp_all.append(fps)
-            for c in ct_all:
-                ct_all[c].append(cts[c])
         if not taus_all:
             per_class_points[cls] = np.zeros((1, 2))
             continue

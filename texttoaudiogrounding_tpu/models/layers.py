@@ -53,7 +53,10 @@ class ConvBlock(nn.Module):
                 from texttoaudiogrounding_tpu.ops.pallas.conv_block_pair \
                     import _pick_tc_pair, fused_block2_pair
                 try:
-                    _pick_tc_pair(x.shape[1], x.shape[2] // 2)
+                    _pick_tc_pair(x.shape[1], x.shape[2] // 2,
+                                  cout=self.out_channels,
+                                  quantize=quantize,
+                                  compute_dtype=self.dtype)
                     ok = True
                 except ValueError:
                     ok = False
@@ -68,7 +71,6 @@ class ConvBlock(nn.Module):
                         x, p["conv1"]["kernel"], ab1,
                         p["conv2"]["kernel"], ab2, quantize=quantize,
                         compute_dtype=self.dtype)
-                ok = False
             elif x.shape[3] == 64:
                 # Cin=64 outside the pair geometry (pool != (2,2), odd
                 # M, Cout % 128): the generic kernel's banded dots lose

@@ -242,7 +242,8 @@ def fused_block2_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
     cout = w1.shape[-1]
     mp = m // 2
     if tc is None:
-        tc = _pick_tc_pair(t, mp)
+        tc = _pick_tc_pair(t, mp, cout=cout, quantize=quantize,
+                           compute_dtype=compute_dtype)
 
     dt_y = jnp.int8 if quantize else compute_dtype
     w1p = _pair_w1(jnp.asarray(w1, jnp.float32))
@@ -294,13 +295,41 @@ def fused_block2_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
     return out.reshape(b, t // 2, mp, cout)
 
 
-def _pick_tc_pair(t: int, mp: int, max_rows: int = 2000) -> int:
-    """Largest even tc dividing t with (tc+2)*mp <= max_rows and the
-    pooled block sublane count (tc//2*mp) a multiple of 8."""
+def _pair_vmem_bytes(t: int, mp: int, tc: int, cout: int,
+                     quantize: bool, compute_dtype) -> int:
+    """Grid-step VMEM estimate for :func:`fused_block2_pair`: the
+    whole-clip xp scratch + double-buffered resident input block scale
+    with T (long clips must fall back to XLA, not crash Mosaic), plus
+    the per-chunk buffers, weights and double-buffered out block."""
+    import numpy as np
+    itb = np.dtype(compute_dtype).itemsize
+    wb = 1 if quantize else itb
+    rows1 = (tc + 2) * mp
+    rows_x = (tc + 4) * mp + 2
+    total = ((t + 4) * mp + 2) * 128 * itb          # xp (whole clip)
+    total += 2 * t * mp * 128 * itb                 # x in-block (dbuf)
+    total += (rows_x if not quantize else 8) * 128 * itb   # xc
+    total += (rows_x if quantize else 8) * 128              # xq (int8)
+    total += 2 * (rows1 + 2) * cout * wb            # y1e + y1o
+    total += (12 * 128 * cout + 9 * cout * cout) * wb + 4 * cout * 4
+    total += 2 * (tc // 2 * mp) * cout * (2 if quantize else itb)
+    return total
+
+
+def _pick_tc_pair(t: int, mp: int, max_rows: int = 2000,
+                  cout: int = 128, quantize: bool = True,
+                  compute_dtype=jnp.bfloat16,
+                  vmem_budget: int = 15 * 2**20) -> int:
+    """Largest even tc dividing t with (tc+2)*mp <= max_rows, the
+    pooled block sublane count (tc//2*mp) a multiple of 8, and the
+    grid-step VMEM estimate within budget (the whole-clip staging grows
+    with T, so very long clips get a ValueError → XLA fallback)."""
     best = 0
     for c in range(2, t + 1, 2):
         if (t % c == 0 and (c + 2) * mp <= max_rows
-                and (c // 2 * mp) % 8 == 0):
+                and (c // 2 * mp) % 8 == 0
+                and _pair_vmem_bytes(t, mp, c, cout, quantize,
+                                     compute_dtype) <= vmem_budget):
             best = c
     if best == 0:
         raise ValueError(f"no valid pair-chunk for T={t} mp={mp}")

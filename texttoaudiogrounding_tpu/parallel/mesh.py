@@ -13,8 +13,6 @@ Multi-host: each process feeds its local shard;
 
 from __future__ import annotations
 
-import queue
-import threading
 from typing import Callable, Iterable, Iterator, Optional, Sequence
 
 import jax
@@ -204,55 +202,16 @@ def device_feed(batches: Iterable, mesh: Mesh, multiple: int,
     rides the PCIe/host link and this pipeline hides it behind the step.
     Exceptions in the worker re-raise at the consuming ``next()``.
     """
-    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
-    sentinel = object()
-    stop = threading.Event()
+    from texttoaudiogrounding_tpu.utils.prefetch import ProducerThread
 
-    def put(item) -> bool:
-        # bounded put that aborts when the consumer has gone away, so
-        # an exception in the training loop can't leave this thread
-        # blocked forever holding `depth` device batches
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.2)
-                return True
-            except queue.Full:
-                continue
-        return False
+    def produce():
+        for host_batch in batches:
+            arr = prepare(host_batch) if prepare else host_batch
+            arr, real_bs = pad_batch_to_multiple(arr, multiple)
+            dev = global_batch_from_local(arr, mesh)
+            yield dev, host_batch, real_bs
 
-    def worker():
-        try:
-            for host_batch in batches:
-                if stop.is_set():
-                    return
-                arr = prepare(host_batch) if prepare else host_batch
-                arr, real_bs = pad_batch_to_multiple(arr, multiple)
-                dev = global_batch_from_local(arr, mesh)
-                if not put((dev, host_batch, real_bs)):
-                    return
-        except BaseException as exc:  # noqa: BLE001 — re-raised below
-            put(exc)
-            return
-        put(sentinel)
-
-    thread = threading.Thread(target=worker, daemon=True)
-    thread.start()
-    try:
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-    finally:
-        # consumer aborted (step exception, generator close) or epoch
-        # done: unblock + drain the producer so prefetched device
-        # buffers are released promptly
-        stop.set()
-        while not q.empty():
-            try:
-                q.get_nowait()
-            except queue.Empty:  # pragma: no cover - race with worker
-                break
-        thread.join()
+    # ProducerThread forwards producer exceptions to the consumer and
+    # reaps the thread when the consumer abandons iteration — a step
+    # exception can't leave `depth` device batches parked in the queue
+    yield from ProducerThread(produce, maxsize=depth)
