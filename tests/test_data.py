@@ -423,3 +423,11 @@ def test_thread_loader_abandoned_iteration_stops_producer(data_dir):
         time.sleep(0.05)
     assert threading.active_count() <= before
     assert len(list(loader)) == len(ds)
+
+
+def test_thread_loader_propagates_errors():
+    """The default (thread) loader must re-raise dataset errors at the
+    consumer instead of hanging forever on a missing sentinel."""
+    loader = DataLoader(_BadDataset(), batch_size=4, num_workers=2)
+    with pytest.raises(ValueError, match="boom"):
+        list(loader)

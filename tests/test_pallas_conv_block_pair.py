@@ -60,3 +60,12 @@ def test_pick_tc_pair():
     assert _pick_tc_pair(500, 16) == 100
     with pytest.raises(ValueError):
         _pick_tc_pair(499, 16)  # prime T: no even chunk divides
+
+
+def test_pick_tc_pair_vmem_bounds_long_clips():
+    """The whole-clip staging grows with T; very long clips must raise
+    (-> XLA fallback in ConvBlock) instead of crashing Mosaic with an
+    over-budget grid step."""
+    with pytest.raises(ValueError):
+        _pick_tc_pair(4000, 16)         # ~16 MB of xp alone
+    assert _pick_tc_pair(500, 16) == 100  # serving geometry unchanged
