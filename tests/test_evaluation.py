@@ -67,9 +67,13 @@ def test_staircase_auc():
     # step function: y=0.5 on [0,10), y=1.0 on [10,20)
     assert staircase_auc(np.array([0.5, 1.0]), np.array([0.0, 10.0]),
                          max_x=20.0) == pytest.approx(15.0)
-    # running max makes y monotone
+    # a dipping curve integrates its dip (sed_scores_eval semantics —
+    # no re-monotonization of the integrated curve)...
     assert staircase_auc(np.array([1.0, 0.2]), np.array([0.0, 10.0]),
-                         max_x=20.0) == pytest.approx(20.0)
+                         max_x=20.0) == pytest.approx(12.0)
+    # ...unless the caller asks for the ROC-envelope semantics
+    assert staircase_auc(np.array([1.0, 0.2]), np.array([0.0, 10.0]),
+                         max_x=20.0, monotonize=True) == pytest.approx(20.0)
 
 
 def _gt_meta():
@@ -422,3 +426,42 @@ def test_exact_sweep_hand_case():
     # the operating points themselves
     pts = sorted(zip(efpr.tolist(), tpr.tolist()))
     assert (900.0, 1.0) in pts
+
+
+def test_effective_tpr_dip_is_integrated_not_cummaxed():
+    """With alpha_st > 0 the effective TPR (mu - sigma) can DIP when one
+    class improves and the others stall (sigma grows faster than mu);
+    sed_scores_eval integrates the dip — re-monotonizing it inflates
+    PSDS.  3 classes at TPR 0.5; class A reaches 1.0 at eFPR 5:
+    etpr = 0.5 on [0,5), then 2/3 - sqrt(1/18) ~= 0.43097 on [5,10)."""
+    from texttoaudiogrounding_tpu.evaluation.psds import _psds_from_points
+
+    pts = {
+        "A": np.array([[0.0, 0.5], [5.0, 1.0]]),
+        "B": np.array([[0.0, 0.5]]),
+        "C": np.array([[0.0, 0.5]]),
+    }
+    value, (etpr, axis) = _psds_from_points(pts, alpha_st=1.0,
+                                            max_efpr=10.0)
+    dipped = 2.0 / 3.0 - np.sqrt(1.0 / 18.0)
+    assert etpr.min() == pytest.approx(dipped, abs=1e-9)
+    assert value == pytest.approx((0.5 * 5 + dipped * 5) / 10, abs=1e-9)
+
+
+def test_desed_macro_f1_never_exceeds_one():
+    """psds_eval compute_macro_f_score counting: one detection covering
+    two ground truths gives TP=2, FP=0, FN=0 -> F1 = 1.0 (dividing the
+    GT-counted TP by the detection count would give 4/3)."""
+    from texttoaudiogrounding_tpu.evaluation.desed import (
+        evaluate_desed_macro_f1,
+    )
+
+    frames = np.zeros(12, np.float32)
+    frames[:10] = 0.9          # one detection [0, 10) at th 0.75/0.25
+    df = pd.DataFrame({"c": frames})
+    result = evaluate_desed_macro_f1(
+        {"f1": df}, {"f1": [(0.0, 4.0, "c"), (5.0, 9.0, "c")]},
+        {"f1": 12.0}, thresholds=(0.75, 0.25), time_resolution=1.0,
+        classes=["c"])
+    assert result["class_f1"]["c"] == pytest.approx(1.0)
+    assert result["macro_f1"] <= 1.0

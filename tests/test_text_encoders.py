@@ -70,3 +70,37 @@ def test_embedding_agg_pretrained_npy(tmp_path, text_batch, rng):
     loaded = np.asarray(
         params["params"]["embedding"]["embed"]["embedding"])
     np.testing.assert_allclose(loaded, weight)
+
+
+def test_vanilla_rnn_torch_parity():
+    """RnnEncoder(rnn_type='RNN') must be a real Elman RNN (reference
+    getattr(nn, rnn_type) accepts 'RNN'), bit-close to torch nn.RNN —
+    not silently a GRU."""
+    import torch
+
+    from texttoaudiogrounding_tpu.models.layers import RNN
+
+    b, t, d, h = 3, 7, 8, 10
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(b, t, d)).astype(np.float32)
+
+    ref = torch.nn.RNN(d, h, batch_first=True, bidirectional=True)
+    model = RNN(h, bidirectional=True)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x))
+
+    def fill(params, w_ih, b_ih, w_hh, b_hh):
+        params["ih"]["kernel"] = jnp.asarray(w_ih.detach().numpy().T)
+        params["ih"]["bias"] = jnp.asarray(b_ih.detach().numpy())
+        params["hh"]["kernel"] = jnp.asarray(w_hh.detach().numpy().T)
+        params["hh"]["bias"] = jnp.asarray(b_hh.detach().numpy())
+
+    params = jax.tree_util.tree_map(lambda v: v, variables)["params"]
+    fill(params["fwd0"], ref.weight_ih_l0, ref.bias_ih_l0,
+         ref.weight_hh_l0, ref.bias_hh_l0)
+    fill(params["bwd0"], ref.weight_ih_l0_reverse, ref.bias_ih_l0_reverse,
+         ref.weight_hh_l0_reverse, ref.bias_hh_l0_reverse)
+
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    want = ref(torch.from_numpy(x))[0].detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

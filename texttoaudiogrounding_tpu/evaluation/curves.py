@@ -16,25 +16,13 @@ from typing import Dict
 import numpy as np
 import pandas as pd
 
-from texttoaudiogrounding_tpu.evaluation.psds import staircase_auc
+from texttoaudiogrounding_tpu.evaluation.psds import (
+    events_at_threshold as _events_at_threshold,
+    staircase_auc,
+)
 from texttoaudiogrounding_tpu.evaluation.th_auc import (
     GroundingPrecisionRecall,
 )
-
-
-def _events_at_threshold(df: pd.DataFrame, column: str,
-                         threshold: float) -> np.ndarray:
-    """Score DataFrame (onset/offset/<class>) → [R, 2] second events at
-    ``>= threshold`` (sed_scores_eval binarization, no postprocessing)."""
-    vals = df[column].values >= threshold
-    if not vals.any():
-        return np.zeros((0, 2))
-    change = np.flatnonzero(np.diff(np.r_[0, vals.astype(np.int8), 0]))
-    pairs = change.reshape(-1, 2)
-    onsets = df["onset"].values
-    offsets = df["offset"].values
-    return np.stack([onsets[pairs[:, 0]], offsets[pairs[:, 1] - 1]],
-                    axis=1)
 
 
 def collar_fscore_curve(scores: Dict[str, pd.DataFrame],

@@ -110,6 +110,10 @@ def double_threshold(x: np.ndarray, high_thres: float, low_thres: float,
         apply_dim = 1
     elif x.ndim <= 2:
         apply_dim = 0
+    else:
+        raise ValueError(f"double_threshold expects <= 3 dims, got "
+                         f"{x.ndim} (reference sed_utils.py:154 asserts "
+                         "the same)")
     return np.apply_along_axis(
         lambda a: _double_threshold_1d(a, high_thres, low_thres, n_connect),
         axis=apply_dim, arr=x)

@@ -70,8 +70,12 @@ def score_clips_zero_shot(predictor, clips: dict,
         waveform = np.asarray(waveform, np.float32)
         audio = np.tile(waveform[None], (len(classes), 1))
         lens = np.full((len(classes),), waveform.shape[0])
-        probs = predictor.predict(audio, lens, phrases)   # [C, T]
-        n = max(int((probs[0] > 0).sum()), 1)
+        probs, out_lens = predictor.predict(audio, lens, phrases,
+                                            return_length=True)  # [C, T]
+        # the model's exact frame-count arithmetic — inferring it from
+        # nonzero scores would break on match fns whose valid scores
+        # can underflow to exactly 0.0
+        n = max(int(out_lens[0]), 1)
         scores = np.clip(probs[:, :n].T, 0.0, 1.0)        # [T, C]
         timestamps = np.arange(n + 1) * time_resolution
         df = pd.DataFrame({"onset": timestamps[:-1],
@@ -136,12 +140,15 @@ def evaluate_desed_macro_f1(score_buffer: dict, ground_truth: dict,
     for cls in evaluator.class_names:
         st = evaluator.operating_points[0]["per_class"][cls]
         num_gts = int((evaluator.ground_truth.event_label == cls).sum())
-        num_dets = int((pred_df.event_label == cls).sum())
-        tp = st["tpr"] * num_gts
-        precision = tp / max(num_dets, 1e-15)
-        recall = st["tpr"]
-        per_class[cls] = (2 * precision * recall
-                          / max(precision + recall, 1e-15))
+        # psds_eval compute_macro_f_score counting: TP = ground truths
+        # matched (GTC), FP = detections failing the DTC, FN = misses;
+        # F = 2TP / (2TP + FN + FP).  (Dividing the GT-counted TP by the
+        # detection count would allow precision — and F — above 1 when
+        # one detection covers several ground truths.)
+        tp = st["tp"]
+        fp = st["fp"]
+        fn = num_gts - tp
+        per_class[cls] = 2.0 * tp / max(2.0 * tp + fn + fp, 1e-15)
     macro = float(np.mean(list(per_class.values()))) if per_class else 0.0
     return {"macro_f1": macro, "class_f1": per_class,
             "predictions": pred_df}

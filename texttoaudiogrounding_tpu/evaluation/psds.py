@@ -28,18 +28,25 @@ WORLD = "WORLD"
 
 
 def staircase_auc(y: np.ndarray, x: np.ndarray,
-                  max_x: Optional[float] = None) -> float:
+                  max_x: Optional[float] = None, *,
+                  monotonize: bool = False) -> float:
     """Area under a right-continuous step function given sample points.
 
-    Matches ``sed_scores_eval.utils.auc.staircase_auc``: sort by x, make y
-    the running max, integrate y as a step function (value holds until the
-    next x), up to ``max_x``.
+    Matches ``sed_scores_eval.utils.auc.staircase_auc``: sort by x,
+    integrate y as a step function (value holds until the next x), up
+    to ``max_x`` — WITHOUT re-monotonizing y (sed_scores_eval never
+    cummaxes the curve it integrates; a dipping effective-TPR or
+    F-vs-threshold curve must integrate its dips).  ``monotonize=True``
+    additionally takes the running max of y — the per-class PSD-ROC
+    envelope semantics (best achievable TPR at each eFPR), used only
+    where this function doubles as the single-class ROC constructor.
     """
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     order = np.argsort(x, kind="stable")
     x, y = x[order], y[order]
-    y = np.maximum.accumulate(y)
+    if monotonize:
+        y = np.maximum.accumulate(y)
     if max_x is None:
         max_x = x[-1] if len(x) else 0.0
     keep = x <= max_x
@@ -48,6 +55,23 @@ def staircase_auc(y: np.ndarray, x: np.ndarray,
         return 0.0
     widths = np.diff(np.r_[x, max_x])
     return float(np.sum(y * widths))
+
+
+def events_at_threshold(df: pd.DataFrame, column: str,
+                        threshold: float) -> np.ndarray:
+    """Score DataFrame (onset/offset/<class>) → [R, 2] second events at
+    ``>= threshold`` (sed_scores_eval binarization, no postprocessing).
+    The one change-point extraction shared by the dense-grid PSDS
+    fallback and the collar/intersection F curves (curves.py)."""
+    vals = df[column].values >= threshold
+    if not vals.any():
+        return np.zeros((0, 2))
+    change = np.flatnonzero(np.diff(np.r_[0, vals.astype(np.int8), 0]))
+    pairs = change.reshape(-1, 2)
+    onsets = df["onset"].values
+    offsets = df["offset"].values
+    return np.stack([onsets[pairs[:, 0]], offsets[pairs[:, 1] - 1]],
+                    axis=1)
 
 
 def _intersections(det: pd.DataFrame, gt: pd.DataFrame) -> pd.DataFrame:
@@ -169,7 +193,8 @@ class PSDSEvaluator:
                     rates.append(
                         ct.get(other, 0) / max(dur, 1e-15) * 3600.0)
                 ctr = float(np.mean(rates))
-            point["per_class"][cls] = {"tpr": tpr, "fpr": fpr, "ctr": ctr}
+            point["per_class"][cls] = {"tpr": tpr, "fpr": fpr, "ctr": ctr,
+                                       "tp": num_tp, "fp": num_fp}
         self.operating_points.append(point)
 
     def psds(self, alpha_ct: float = 0.0, alpha_st: float = 0.0,
@@ -514,7 +539,11 @@ def exact_single_class_psd_roc(scores: Dict[str, pd.DataFrame],
     efpr = fp / max(total_duration, 1e-15) * 3600.0
     if max_efpr is None:
         max_efpr = float(efpr.max()) if efpr.max() > 0 else 1.0
-    auc = staircase_auc(tpr, efpr, max_x=max_efpr)
+    # single-class ROC: monotonize — the PSD-ROC is the envelope of
+    # operating points (change-point deltas can be negative, so the
+    # raw cumsum curve may dip); sed_scores_eval cummaxes single-class
+    # rocs the same way
+    auc = staircase_auc(tpr, efpr, max_x=max_efpr, monotonize=True)
     return auc / max_efpr, (tpr, efpr)
 
 
@@ -600,19 +629,10 @@ def compute_psds_sed_scores(scores: Dict[str, pd.DataFrame],
     for th in thresholds:
         rows = []
         for fname, df in scores.items():
-            onsets = df["onset"].values
-            offsets = df["offset"].values
             for col in event_cols[fname]:
-                vals = df[col].values >= th
-                if not vals.any():
-                    continue
-                change = np.flatnonzero(np.diff(
-                    np.r_[0, vals.astype(np.int8), 0]))
-                for lo, hi in change.reshape(-1, 2):
-                    rows.append({"filename": fname,
-                                 "onset": onsets[lo],
-                                 "offset": offsets[hi - 1],
-                                 "event_label": col})
+                for onset, offset in events_at_threshold(df, col, th):
+                    rows.append({"filename": fname, "onset": onset,
+                                 "offset": offset, "event_label": col})
         det = pd.DataFrame(rows, columns=["filename", "onset", "offset",
                                           "event_label"])
         evaluator.add_operating_point(det, info={"threshold": th})

@@ -170,11 +170,27 @@ class PriorAdjustedClipBceLoss:
 
 @register("MaskedClipBceLoss")
 class MaskedClipBceLoss:
-    """Class-masked clip BCE (reference losses.py:146-154)."""
+    """Class-masked clip BCE (reference losses.py:146-154).
+
+    PARITY QUIRK: the reference passes the legacy kwarg
+    ``reduce="none"`` — a truthy string, which torch's legacy path
+    resolves to ``reduction='mean'`` — so its "masked" loss is actually
+    the plain UNMASKED mean (the scalar broadcasts through the mask and
+    the mask cancels in the ratio).  The default replicates that
+    effective behavior (it determines training results); set
+    ``fixed_masking=True`` for the mean over masked entries the
+    reference code intended.  No shipped eg_configs recipe uses this
+    loss, so the flag changes nothing for the recipe set.
+    """
+
+    def __init__(self, fixed_masking: bool = False):
+        self.fixed_masking = fixed_masking
 
     def __call__(self, output: dict, **kw) -> jax.Array:
         loss = binary_cross_entropy(output["clip_sim"], output["label"],
                                     reduction="none")
+        if not self.fixed_masking:
+            return jnp.mean(loss)
         cls_mask = output["label_mask"]
         return jnp.sum(loss * cls_mask) / jnp.sum(cls_mask)
 

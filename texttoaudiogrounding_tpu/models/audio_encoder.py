@@ -124,8 +124,11 @@ class Cnn8Rnn(nn.Module):
         length = jnp.asarray(input_dict["waveform_len"]) // cfg.hop_length + 1
         length = length // self.downsample_ratio
         if train and mixup_lambda is not None:
-            length = do_mixup(length.astype(jnp.float32),
-                              mixup_lambda).astype(jnp.int32)
+            # the reference keeps mixup'd lengths FLOAT (lam*l0 +
+            # (1-lam)*l1) and masks with idx < length, so e.g. 12.6
+            # keeps 13 frames; flooring to int here would drop a frame
+            # from every unequal-length mixup pair's mask
+            length = do_mixup(length.astype(jnp.float32), mixup_lambda)
         return {"embedding": x, "length": length}
 
 

@@ -387,6 +387,59 @@ class GRU(nn.Module):
         return x
 
 
+class RNNSeq(nn.Module):
+    """One vanilla (Elman, tanh) RNN direction over a full sequence —
+    torch ``nn.RNN`` semantics: ``h' = tanh(W_ih x + b_ih + W_hh h +
+    b_hh)``.  Input projections for all steps are hoisted into one MXU
+    matmul; the scan body only does the [B, H] x [H, H] recurrent dot.
+    Reference reachable via ``RnnEncoder(rnn_type="RNN")``
+    (models/text_encoder.py:106 does ``getattr(nn, rnn_type)``)."""
+
+    hidden: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = self.hidden
+        i_k, i_b = _GruParam((x.shape[-1], h), True, name="ih")()
+        h_k, h_b = _GruParam((h, h), True, recurrent=True, name="hh")()
+        proj = jnp.einsum("btd,dh->bth", x, i_k,
+                          preferred_element_type=jnp.float32) + i_b
+        if self.reverse:
+            proj = jnp.flip(proj, axis=1)
+
+        def step(hid, p):
+            hid = jnp.tanh(p + jnp.dot(
+                hid, h_k, preferred_element_type=jnp.float32) + h_b)
+            return hid, hid
+
+        h0 = jnp.zeros((x.shape[0], h), jnp.float32)
+        _, ys = jax.lax.scan(step, h0, jnp.swapaxes(proj, 0, 1))
+        ys = jnp.swapaxes(ys, 0, 1)
+        if self.reverse:
+            ys = jnp.flip(ys, axis=1)
+        return ys
+
+
+class RNN(nn.Module):
+    """Uni/bidirectional multi-layer vanilla RNN (torch nn.RNN shape)."""
+
+    hidden: int
+    num_layers: int = 1
+    bidirectional: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i in range(self.num_layers):
+            fwd = RNNSeq(self.hidden, name=f"fwd{i}")(x)
+            if self.bidirectional:
+                bwd = RNNSeq(self.hidden, reverse=True, name=f"bwd{i}")(x)
+                x = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                x = fwd
+        return x
+
+
 class LSTM(nn.Module):
     hidden: int
     num_layers: int = 1

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from texttoaudiogrounding_tpu.models.layers import GRU, LSTM, PositionalEncoding
+from texttoaudiogrounding_tpu.models.layers import (GRU, LSTM, RNN,
+                                                    PositionalEncoding)
 from texttoaudiogrounding_tpu.ops.masking import (
     generate_length_mask,
     masked_softmax,
@@ -113,8 +114,14 @@ class RnnEncoder(nn.Module):
     def __call__(self, input_dict: dict, *, train: bool = False) -> dict:
         x = EmbeddingLayer(self.vocab_size, self.embed_dim,
                            name="embedding")(input_dict)
-        if self.rnn_type in ("GRU", "RNN"):
+        if self.rnn_type == "GRU":
             token_emb = GRU(self.hidden_dim, self.num_layers,
+                            self.bidirectional, name="rnn")(x)
+        elif self.rnn_type == "RNN":
+            # vanilla Elman RNN — reference getattr(nn, rnn_type)
+            # accepts it (models/text_encoder.py:106); routing it to a
+            # GRU would silently train a different architecture
+            token_emb = RNN(self.hidden_dim, self.num_layers,
                             self.bidirectional, name="rnn")(x)
         elif self.rnn_type == "LSTM":
             token_emb = LSTM(self.hidden_dim, self.num_layers,
@@ -178,8 +185,13 @@ class IntraAttention(nn.Module):
         mask1 = generate_length_mask(lens, max_len)  # [B, L]
         pair_mask = mask1[:, None, :] & mask1[:, :, None]
         for _ in range(self.num_layers):
+            # the reference calls pe(x) TWICE (models/text_encoder.py:
+            # 214-216): two independent dropout draws per layer — one
+            # shared draw would correlate the operands and inflate the
+            # score diagonal in training
             px = pe(x, train=train)
-            score = jnp.einsum("bld,bmd->blm", px, px)
+            qx = pe(x, train=train)
+            score = jnp.einsum("bld,bmd->blm", px, qx)
             score = jnp.where(pair_mask, score, 1e-10)
             attn = jax.nn.softmax(score, axis=2)
             message = jnp.einsum("blm,bmd->bld", attn, x)
