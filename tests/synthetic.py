@@ -108,3 +108,106 @@ def make_vocab(label_json: Path, out: Path):
     with open(label_json) as f:
         items = json.load(f)
     return build_vocab(items, out)
+
+
+def make_metric_golden_scenario():
+    """Deterministic multi-class SED scenario shared by
+    ``scripts/gen_metric_goldens.py`` (which computes golden metric values
+    with the REAL psds_eval / sed_scores_eval / sed_eval libraries wherever
+    they are installed) and ``tests/test_metric_goldens.py`` (which pins
+    this repo's metric engine against the committed goldens).
+
+    Everything here is plain NumPy/pandas — no dependency on either metric
+    stack — so both sides see byte-identical inputs.  Returns a dict with:
+
+    - ``scores``: {fname: DataFrame(onset, offset, <class>...)} per-frame
+      score curves (sed_scores_eval format)
+    - ``ground_truth``: {fname: [(onset, offset, label), ...]}
+    - ``gt_df`` / ``gt_df_aid``: tidy event table without/with ``audio_id``
+    - ``metadata_df``: (filename, duration) — psds_eval metadata
+    - ``duration_df``: (audio_id, duration) — this repo's wrapper format
+    - ``fname_to_aid``: identity map
+    - ``prediction_dfs``: {threshold: DataFrame(filename, onset, offset,
+      event_label)} — >=-threshold binarization + contiguous regions,
+      computed inline (no decode dependency)
+    """
+    import pandas as pd
+
+    rng = np.random.default_rng(1234)
+    classes = ["dog", "water", "speech"]
+    n_files, n_frames, res = 8, 125, 0.08  # 10 s at 0.08 s
+    onsets = np.arange(n_frames) * res
+    offsets = onsets + res
+
+    scores, ground_truth, gt_rows = {}, {}, []
+    for i in range(n_files):
+        fname = f"clip_{i:02d}"
+        events = []
+        frame_scores = {}
+        for cls in classes:
+            truth = np.zeros(n_frames)
+            for _ in range(int(rng.integers(0, 3))):
+                start = int(rng.integers(0, n_frames - 12))
+                length = int(rng.integers(6, 30))
+                end = min(start + length, n_frames)
+                truth[start:end] = 1.0
+            # merge overlaps into event rows
+            edges = np.flatnonzero(np.diff(np.r_[0, truth, 0]))
+            for on, off in zip(edges[::2], edges[1::2]):
+                events.append((float(on * res), float(off * res), cls))
+                gt_rows.append({"filename": fname, "onset": on * res,
+                                "offset": off * res, "event_label": cls})
+            # realistically IMPERFECT score curves: per-event amplitude
+            # and onset jitter (partial DTC/GTC overlaps), plus
+            # false-positive bumps — so every metric is strictly inside
+            # (0, 1) and the goldens have discriminating power
+            score_truth = np.zeros(n_frames)
+            for on, off in zip(edges[::2], edges[1::2]):
+                amp = float(rng.uniform(0.35, 0.95))
+                shift = int(rng.integers(-5, 6))
+                lo = max(0, on + shift)
+                hi = min(n_frames, off + shift)
+                score_truth[lo:hi] = np.maximum(score_truth[lo:hi], amp)
+            for _ in range(int(rng.integers(1, 4))):  # FP bumps
+                start = int(rng.integers(0, n_frames - 8))
+                length = int(rng.integers(3, 15))
+                amp = float(rng.uniform(0.3, 0.9))
+                score_truth[start:start + length] = np.maximum(
+                    score_truth[start:start + length], amp)
+            noisy = score_truth + 0.25 * rng.random(n_frames)
+            frame_scores[cls] = np.clip(np.convolve(
+                noisy, np.ones(3) / 3, mode="same"), 0, 1).round(4)
+        scores[fname] = pd.DataFrame(
+            {"onset": onsets, "offset": offsets, **frame_scores})
+        ground_truth[fname] = events
+
+    gt_df = pd.DataFrame(gt_rows)
+    gt_df_aid = gt_df.assign(audio_id=gt_df["filename"])
+    fnames = sorted(scores)
+    metadata_df = pd.DataFrame(
+        {"filename": fnames, "duration": [n_frames * res] * n_files})
+    duration_df = pd.DataFrame(
+        {"audio_id": fnames, "duration": [n_frames * res] * n_files})
+
+    prediction_dfs = {}
+    # dense grid + very high thresholds so some operating points survive
+    # the PSDS2 cross-trigger eFPR penalty under max_efpr=100
+    thresholds = np.r_[np.arange(0.05, 1.0, 0.05), 0.92, 0.98]
+    for th in np.round(thresholds, 2):
+        rows = []
+        for fname in fnames:
+            df = scores[fname]
+            for cls in classes:
+                mask = (df[cls].to_numpy() >= th).astype(int)
+                edges = np.flatnonzero(np.diff(np.r_[0, mask, 0]))
+                for on, off in zip(edges[::2], edges[1::2]):
+                    rows.append({"filename": fname, "onset": on * res,
+                                 "offset": off * res, "event_label": cls})
+        prediction_dfs[float(th)] = pd.DataFrame(
+            rows, columns=["filename", "onset", "offset", "event_label"])
+
+    return {"scores": scores, "ground_truth": ground_truth,
+            "gt_df": gt_df, "gt_df_aid": gt_df_aid,
+            "metadata_df": metadata_df, "duration_df": duration_df,
+            "fname_to_aid": {f: f for f in fnames},
+            "prediction_dfs": prediction_dfs, "classes": classes}

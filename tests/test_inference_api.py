@@ -125,3 +125,25 @@ def test_export_deployment_roundtrip(experiment, rng, tmp_path):
     a = ref.predict(audio, lens, text)
     b = dep.predict(audio, lens, text)
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # the exportable model family additionally publishes a
+    # reference-format torch checkpoint that imports back bit-exactly
+    import json
+
+    from texttoaudiogrounding_tpu.training.torch_import import (
+        import_biencoder,
+        load_torch_state_dict,
+        merge_into_variables,
+    )
+    deploy_meta = json.load(open(moved / "deploy.json"))
+    assert deploy_meta["torch_checkpoint"] == "model.pth"
+    sd = load_torch_state_dict(moved / "model.pth")
+    back = import_biencoder(sd)
+    skipped = []
+    merged = merge_into_variables(ref.variables, back,
+                                  log_fn=lambda m: skipped.append(m))
+    assert not skipped, skipped
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        merged, ref.variables)

@@ -11,6 +11,8 @@ equivalent here is a directory::
       deploy.json     # model spec + tokenizer spec + inference params
       weights.npz     # flat param/batch-stat arrays (no orbax tree)
       vocabulary.pkl  # (DictTokenizer only) the vocabulary payload
+      model.pth       # reference-format torch checkpoint (model families
+                      # with a torch name map — see torch_import.py)
 
 which :func:`predictor_from_deployment` reconstructs (as a
 ``GroundingPredictor``) with zero references to the training experiment
@@ -77,8 +79,24 @@ def export_deployment(experiment_path: str, output_dir: str,
         shutil.copy(vocab, out / "vocabulary.pkl")
         tok_cfg["args"]["vocabulary"] = "vocabulary.pkl"
 
+    # additionally publish a reference-format torch checkpoint when the
+    # model family has a torch name map (Cnn8Rnn/EmbeddingAgg BiEncoders;
+    # pretrained text towers ship their own torch checkpoints)
+    torch_ckpt = None
+    try:
+        from texttoaudiogrounding_tpu.training.torch_import import (
+            export_biencoder,
+            save_torch_checkpoint,
+        )
+        sd = export_biencoder(predictor.variables)
+        save_torch_checkpoint(out / "model.pth", sd)
+        torch_ckpt = "model.pth"
+    except (ValueError, KeyError):
+        pass
+
     deploy = {
         "model": config["model"],
+        "torch_checkpoint": torch_ckpt,
         "tokenizer": tok_cfg,
         "time_resolution": predictor.time_resolution,
         "audio_bucket": predictor.audio_bucket,

@@ -1,5 +1,8 @@
 """Import PyTorch checkpoints (reference ``.pth`` / HF deployment weights)
-into the flax parameter trees.
+into the flax parameter trees — and export flax-trained models back to
+reference-format torch state dicts (``export_cnn8rnn`` /
+``export_biencoder`` / ``save_torch_checkpoint``), so models trained here
+are publishable into the reference ecosystem.
 
 Covers the bit-parity contract of SURVEY §7: reference-trained Cnn8Rnn /
 BiEncoder / MultiTextBiEncoder weights (and the HF grounding model,
@@ -168,6 +171,136 @@ def import_hf_grounding(sd: Dict[str, np.ndarray],
     }
     return {"params": params,
             "batch_stats": {"audio_encoder": audio["batch_stats"]}}
+
+
+def _conv_out(params) -> Dict[str, np.ndarray]:
+    # flax [kH, kW, Cin, Cout] -> torch [Cout, Cin, kH, kW]
+    return {"weight": np.asarray(params["kernel"]).transpose(3, 2, 0, 1)}
+
+
+def _bn_out(params, stats) -> Dict[str, np.ndarray]:
+    return {"weight": np.asarray(params["scale"]),
+            "bias": np.asarray(params["bias"]),
+            "running_mean": np.asarray(stats["mean"]),
+            "running_var": np.asarray(stats["var"]),
+            "num_batches_tracked": np.asarray(0, np.int64)}
+
+
+def _dense_out(params) -> Dict[str, np.ndarray]:
+    out = {"weight": np.asarray(params["kernel"]).T}
+    if "bias" in params:
+        out["bias"] = np.asarray(params["bias"])
+    return out
+
+
+def _gru_cell_out(cell: dict, prefix: str, suffix: str = ""
+                  ) -> Dict[str, np.ndarray]:
+    """flax GRUCell params → one torch GRU direction.
+
+    Inverse of :func:`_gru_cell`.  The flax cell has no ``hr``/``hz``
+    biases (they were folded into the input-gate biases on import), so the
+    exported split puts the whole r/z bias on ``bias_ih`` and zeros on
+    ``bias_hh`` — algebraically identical torch recurrence, and
+    export→import round-trips bit-exactly.
+    """
+    def k(name):
+        return np.asarray(cell[name]["kernel"]).T
+
+    h = k("hr").shape[1]
+    zeros = np.zeros(h, k("hr").dtype)
+    return {
+        f"{prefix}.weight_ih_l0{suffix}":
+            np.concatenate([k("ir"), k("iz"), k("in")], axis=0),
+        f"{prefix}.weight_hh_l0{suffix}":
+            np.concatenate([k("hr"), k("hz"), k("hn")], axis=0),
+        f"{prefix}.bias_ih_l0{suffix}": np.concatenate(
+            [np.asarray(cell["ir"]["bias"]),
+             np.asarray(cell["iz"]["bias"]),
+             np.asarray(cell["in"]["bias"])]),
+        f"{prefix}.bias_hh_l0{suffix}": np.concatenate(
+            [zeros, zeros, np.asarray(cell["hn"]["bias"])]),
+    }
+
+
+def export_bigru(params: dict, prefix: str) -> Dict[str, np.ndarray]:
+    """Our BiGRU params → torch ``nn.GRU(bidirectional=True)`` keys."""
+    out = _gru_cell_out(params["GRUCell_0"], prefix)
+    out.update(_gru_cell_out(params["GRUCell_1"], prefix, "_reverse"))
+    return out
+
+
+def export_cnn8rnn(variables: dict, prefix: str = ""
+                   ) -> Dict[str, np.ndarray]:
+    """flax Cnn8Rnn variables → reference torch state dict (inverse of
+    :func:`import_cnn8rnn`; name map models/audio_encoder.py:89-232)."""
+    params, stats = variables["params"], variables["batch_stats"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def put(name, tensors):
+        for suffix, value in tensors.items():
+            sd[f"{prefix}{name}.{suffix}"] = value
+
+    put("bn0", _bn_out(params["bn0"], stats["bn0"]))
+    for i in range(1, 5):
+        block = f"conv_block{i}"
+        put(f"{block}.conv1", _conv_out(params[block]["conv1"]))
+        put(f"{block}.conv2", _conv_out(params[block]["conv2"]))
+        put(f"{block}.bn1", _bn_out(params[block]["bn1"],
+                                    stats[block]["bn1"]))
+        put(f"{block}.bn2", _bn_out(params[block]["bn2"],
+                                    stats[block]["bn2"]))
+    put("fc1", _dense_out(params["fc1"]))
+    sd.update(export_bigru(params["rnn"], f"{prefix}rnn"))
+    return sd
+
+
+def export_embedding_agg(params: dict, prefix: str = ""
+                         ) -> Dict[str, np.ndarray]:
+    """flax EmbeddingAgg params → reference torch keys (inverse of
+    :func:`import_embedding_agg`; models/text_encoder.py:61-88)."""
+    sd = {f"{prefix}embedding.core.weight":
+          np.asarray(params["embedding"]["embed"]["embedding"])}
+    if "attn" in params:
+        for key, value in _dense_out(params["attn"]["Dense_0"]).items():
+            sd[f"{prefix}attn.fc.{key}"] = value
+    return sd
+
+
+def export_biencoder(variables: dict) -> Dict[str, np.ndarray]:
+    """flax BiEncoder / MultiTextBiEncoder variables → reference torch
+    state dict (inverse of :func:`import_biencoder`).
+
+    Covers the trained-model families of the TAG task: Cnn8Rnn audio
+    tower, EmbeddingAgg text tower, and the shared-space projections.
+    Raises ``ValueError`` for text towers with no torch name map (the
+    pretrained BERT/CLAP towers ship their own torch checkpoints).
+    """
+    params = variables["params"]
+    sd = export_cnn8rnn(
+        {"params": params["audio_encoder"],
+         "batch_stats": variables["batch_stats"]["audio_encoder"]},
+        prefix="audio_encoder.")
+    if "text_encoder" in params:
+        text = params["text_encoder"]
+        if set(text) - {"embedding", "attn"}:
+            raise ValueError(
+                "torch export supports EmbeddingAgg text encoders; got "
+                f"modules {sorted(text)}")
+        sd.update(export_embedding_agg(text, prefix="text_encoder."))
+    for proj in ("audio_proj", "text_proj"):
+        if proj in params:
+            for key, value in _dense_out(params[proj]).items():
+                sd[f"{proj}.{key}"] = value
+    return sd
+
+
+def save_torch_checkpoint(path, state_dict: Dict[str, np.ndarray]) -> None:
+    """Write a reference-format ``.pth`` (``{"model": state_dict}``
+    container, run_strong.py:679-690) loadable by ``torch.load``."""
+    import torch
+    tensors = {k: torch.as_tensor(np.array(v))  # copy: torch needs writable
+               for k, v in state_dict.items()}
+    torch.save({"model": tensors}, str(path))
 
 
 def merge_into_variables(variables: dict, imported: dict,
