@@ -147,3 +147,37 @@ def test_export_deployment_roundtrip(experiment, rng, tmp_path):
         lambda x, y: np.testing.assert_array_equal(np.asarray(x),
                                                    np.asarray(y)),
         merged, ref.variables)
+
+
+def test_batch_bucketing(experiment, rng):
+    """The batch dim is padded to the configured buckets: different
+    incoming sizes share one compiled shape, results match an exact-size
+    predictor row-for-row, and padded rows never leak out."""
+    from texttoaudiogrounding_tpu.inference import GroundingPredictor
+
+    predictor = GroundingPredictor.from_experiment(str(experiment))
+    assert predictor.batch_buckets == (1, 8, 32, 128)
+
+    seen = []
+    orig = predictor._forward
+
+    def spy(variables, batch):
+        seen.append(batch["waveform"].shape[0])
+        return orig(variables, batch)
+
+    predictor._forward = spy
+    audio = (rng.normal(size=(5, 32000)) * 0.1).astype(np.float32)
+    lens = np.full(5, 32000, np.int64)
+    text = ["dog barking", "a man", "water", "dog barking", "a man"]
+    probs5 = predictor.predict(audio, lens, text)
+    probs3 = predictor.predict(audio[:3], lens[:3], text[:3])
+    probs1 = predictor.predict(audio[:1], lens[:1], text[:1])
+    assert seen == [8, 8, 1]  # 5 and 3 share the B=8 graph; 1 is exact
+    assert probs5.shape[0] == 5 and probs3.shape[0] == 3
+    assert probs1.shape[0] == 1
+
+    exact = GroundingPredictor.from_experiment(str(experiment))
+    exact.batch_buckets = ()
+    ref = exact.predict(audio[:3], lens[:3], text[:3])
+    np.testing.assert_allclose(probs3, ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(probs5[:3], ref, rtol=1e-5, atol=1e-6)

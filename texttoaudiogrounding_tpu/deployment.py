@@ -101,6 +101,7 @@ def export_deployment(experiment_path: str, output_dir: str,
         "time_resolution": predictor.time_resolution,
         "audio_bucket": predictor.audio_bucket,
         "text_bucket": predictor.text_bucket,
+        "batch_buckets": list(predictor.batch_buckets),
         "sample_rate": config["model"].get("audio_encoder", {})
                              .get("args", {}).get("sample_rate", 32000),
     }
@@ -137,7 +138,8 @@ def predictor_from_deployment(deploy_dir: str):
         model, variables, tokenizer,
         time_resolution=deploy.get("time_resolution", 0.04),
         audio_bucket=deploy.get("audio_bucket", 32000),
-        text_bucket=deploy.get("text_bucket", 4))
+        text_bucket=deploy.get("text_bucket", 4),
+        batch_buckets=tuple(deploy.get("batch_buckets", (1, 8, 32, 128))))
 
 
 def main(argv=None):

@@ -36,12 +36,22 @@ class GroundingPredictor:
     def __init__(self, model, variables, tokenizer,
                  time_resolution: float = 0.04,
                  audio_bucket: int = 32000, text_bucket: int = 4,
+                 batch_buckets: tuple = (1, 8, 32, 128),
                  mesh=None):
         """``mesh``: an optional ``jax.sharding.Mesh`` with a ``data``
         axis — serving then shards the batch over it (GSPMD data
         parallelism, parameters replicated), so multi-chip serving
         scales linearly without code changes; batches that don't divide
-        the mesh are padded and trimmed transparently."""
+        the mesh are padded and trimmed transparently.
+
+        ``batch_buckets``: the batch dim is padded up to the smallest
+        listed size (larger batches round up to a multiple of the last
+        bucket), bounding compile count AND keeping the hot path on the
+        measured serving sweet spots — off-bucket batches both
+        recompile and run far slower (B=128: 3864 clips/s vs B=144:
+        2647 on v5e; STATUS.md batch envelope).  Padded rows repeat the
+        last clip and are trimmed from the output.  Pass ``()``/None
+        to run exact incoming sizes."""
         import jax
 
         self.model = model
@@ -49,6 +59,7 @@ class GroundingPredictor:
         self.time_resolution = time_resolution
         self.audio_bucket = audio_bucket
         self.text_bucket = text_bucket
+        self.batch_buckets = tuple(sorted(batch_buckets or ()))
         self.mesh = mesh
         fwd = lambda v, b: self.model.apply(v, b, train=False)  # noqa: E731
         if mesh is not None:
@@ -142,11 +153,19 @@ class GroundingPredictor:
             batch["text"] = batch["text"][:, None]
             batch["text_len"] = batch["text_len"][:, None]
         real_b = batch["waveform"].shape[0]
+        target = real_b
+        if self.batch_buckets:
+            bigger = [b for b in self.batch_buckets if b >= real_b]
+            target = (bigger[0] if bigger
+                      else round_up(real_b, self.batch_buckets[-1]))
         if self._batch_multiple > 1:
+            target = round_up(target, self._batch_multiple)
+        if target != real_b:
             from texttoaudiogrounding_tpu.parallel.mesh import \
                 pad_batch_to_multiple
-            batch, real_b = pad_batch_to_multiple(batch,
-                                                  self._batch_multiple)
+            # real_b <= target, so padding to a multiple of ``target``
+            # pads to exactly ``target`` rows
+            batch, real_b = pad_batch_to_multiple(batch, target)
         out = self._forward(self.variables, batch)
         frame_sim = np.asarray(out["frame_sim"])[:real_b]
         if frame_sim.ndim == 3:
