@@ -23,8 +23,11 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-os.environ.setdefault("TTG_FUSED_CONV",
-                      sys.argv[1] if len(sys.argv) > 1 else "int8")
+# an explicit CLI mode always wins; the env var only backs the default
+if len(sys.argv) > 1:
+    os.environ["TTG_FUSED_CONV"] = sys.argv[1]
+else:
+    os.environ.setdefault("TTG_FUSED_CONV", "int8")
 
 import jax
 import jax.numpy as jnp

@@ -126,6 +126,17 @@ def test_export_deployment_roundtrip(experiment, rng, tmp_path):
     b = dep.predict(audio, lens, text)
     np.testing.assert_allclose(a, b, atol=1e-6)
 
+    # new exports carry batch_buckets explicitly; a pre-bucketing
+    # artifact (no field) must keep its original exact-size behavior
+    import json
+
+    assert dep.batch_buckets == ref.batch_buckets
+    meta = json.load(open(moved / "deploy.json"))
+    meta.pop("batch_buckets")
+    json.dump(meta, open(moved / "deploy.json", "w"))
+    legacy = predictor_from_deployment(str(moved))
+    assert legacy.batch_buckets == ()
+
     # the exportable model family additionally publishes a
     # reference-format torch checkpoint that imports back bit-exactly
     import json
@@ -156,7 +167,16 @@ def test_batch_bucketing(experiment, rng):
     from texttoaudiogrounding_tpu.inference import GroundingPredictor
 
     predictor = GroundingPredictor.from_experiment(str(experiment))
-    assert predictor.batch_buckets == (1, 8, 32, 128)
+    assert predictor.batch_buckets == (1, 8, 16, 32, 128)
+
+    # buckets are overridable per-call site (ADVICE round 3: e.g. the
+    # DESED per-clip class sweep wants its own size or exact batches)
+    tuned = GroundingPredictor.from_experiment(str(experiment),
+                                               batch_buckets=(4,))
+    assert tuned.batch_buckets == (4,)
+    disabled = GroundingPredictor.from_experiment(str(experiment),
+                                                  batch_buckets=())
+    assert disabled.batch_buckets == ()
 
     seen = []
     orig = predictor._forward

@@ -94,9 +94,21 @@ def export_deployment(experiment_path: str, output_dir: str,
     except (ValueError, KeyError):
         pass
 
+    # ... and, for the same families, a hub-publishable AutoModel
+    # artifact (modeling_grounding.py + config.json + pytorch_model.bin)
+    hf_files = None
+    if torch_ckpt is not None:
+        try:
+            export_hf_artifact(config, predictor, sd, out)
+            hf_files = ["modeling_grounding.py", "config.json",
+                        "pytorch_model.bin"]
+        except (ValueError, KeyError):
+            pass
+
     deploy = {
         "model": config["model"],
         "torch_checkpoint": torch_ckpt,
+        "hf_artifact": hf_files,
         "tokenizer": tok_cfg,
         "time_resolution": predictor.time_resolution,
         "audio_bucket": predictor.audio_bucket,
@@ -108,6 +120,75 @@ def export_deployment(experiment_path: str, output_dir: str,
     with open(out / "deploy.json", "w") as f:
         json.dump(deploy, f, indent=2)
     return out
+
+
+def export_hf_artifact(config: dict, predictor, torch_sd: dict,
+                       out: Path) -> None:
+    """Emit the ``trust_remote_code`` AutoModel artifact next to the
+    native deployment files: ``modeling_grounding.py`` (copied from
+    ``hf_artifact/``), ``config.json`` with the ``auto_map`` hooks, and
+    ``pytorch_model.bin`` holding the reference-format state dict under
+    the wrapper's ``model.`` prefix.  The result loads with
+    ``AutoModel.from_pretrained(dir, trust_remote_code=True)`` — the
+    reference's release mechanism (hf_modeling_grounding.py:305-352).
+
+    Supports the torch-exportable family: BiEncoder(Cnn8Rnn,
+    EmbeddingAgg, DotProduct/ExpNegL2) with a DictTokenizer vocabulary.
+    Raises ``ValueError`` for anything else.
+    """
+    import torch
+
+    mcfg = config["model"]
+    if mcfg.get("type") not in ("BiEncoder",):
+        raise ValueError(f"HF artifact supports BiEncoder; "
+                         f"got {mcfg.get('type')}")
+    if mcfg["audio_encoder"]["type"] not in ("Cnn8Rnn", "Cnn8_Rnn"):
+        raise ValueError("HF artifact supports Cnn8Rnn audio encoders")
+    text_cfg = mcfg["text_encoder"]
+    if text_cfg["type"] != "EmbeddingAgg":
+        raise ValueError("HF artifact supports EmbeddingAgg text encoders")
+    match_cfg = mcfg["match_fn"]
+    match_type = match_cfg["type"].replace("Match", "")
+    if match_type not in ("DotProduct", "ExpNegL2"):
+        raise ValueError(f"no HF artifact match fn for {match_cfg['type']}")
+
+    vocab = getattr(getattr(predictor.tokenizer, "vocabulary", None),
+                    "word2idx", None)
+    if vocab is None:
+        raise ValueError("HF artifact needs a DictTokenizer vocabulary")
+
+    hf_config = {
+        "model_type": "text_audio_grounding",
+        "architectures": ["GroundingModel"],
+        "auto_map": {
+            "AutoConfig": "modeling_grounding.GroundingConfig",
+            "AutoModel": "modeling_grounding.GroundingModel",
+        },
+        "sample_rate": mcfg["audio_encoder"].get("args", {}).get(
+            "sample_rate", 32000),
+        "shared_dim": mcfg.get("args", {}).get("shared_dim", 512),
+        "add_proj": mcfg.get("args", {}).get("add_proj", False),
+        "upsample": mcfg.get("args", {}).get("upsample", False),
+        "audio_encoder": {"type": "Cnn8Rnn"},
+        "text_encoder": {
+            "type": "EmbeddingAgg",
+            "vocab_size": text_cfg["args"]["vocab_size"],
+            "embed_dim": text_cfg["args"]["embed_dim"],
+            "aggregation": text_cfg["args"].get("aggregation", "mean"),
+        },
+        "match_fn": {"type": match_type,
+                     **{k: v for k, v in match_cfg.get("args", {}).items()
+                        if k in ("l2norm", "scale", "text_level")}},
+        "vocab": vocab,
+        "torch_dtype": "float32",
+    }
+    with open(out / "config.json", "w") as f:
+        json.dump(hf_config, f, indent=2)
+    shutil.copy(Path(__file__).parent / "hf_artifact"
+                / "modeling_grounding.py", out / "modeling_grounding.py")
+    tensors = {f"model.{k}": torch.as_tensor(np.array(v))
+               for k, v in torch_sd.items()}
+    torch.save(tensors, out / "pytorch_model.bin")
 
 
 def load_deployment(deploy_dir: str):
@@ -139,7 +220,10 @@ def predictor_from_deployment(deploy_dir: str):
         time_resolution=deploy.get("time_resolution", 0.04),
         audio_bucket=deploy.get("audio_bucket", 32000),
         text_bucket=deploy.get("text_bucket", 4),
-        batch_buckets=tuple(deploy.get("batch_buckets", (1, 8, 32, 128))))
+        # artifacts written before batch bucketing existed keep their
+        # original exact-size behavior (no silent padding on upgrade);
+        # new exports always carry the field explicitly
+        batch_buckets=tuple(deploy.get("batch_buckets", ())))
 
 
 def main(argv=None):

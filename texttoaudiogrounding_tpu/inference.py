@@ -36,7 +36,7 @@ class GroundingPredictor:
     def __init__(self, model, variables, tokenizer,
                  time_resolution: float = 0.04,
                  audio_bucket: int = 32000, text_bucket: int = 4,
-                 batch_buckets: tuple = (1, 8, 32, 128),
+                 batch_buckets: tuple = (1, 8, 16, 32, 128),
                  mesh=None):
         """``mesh``: an optional ``jax.sharding.Mesh`` with a ``data``
         axis — serving then shards the batch over it (GSPMD data
@@ -45,8 +45,9 @@ class GroundingPredictor:
         the mesh are padded and trimmed transparently.
 
         ``batch_buckets``: the batch dim is padded up to the smallest
-        listed size (larger batches round up to a multiple of the last
-        bucket), bounding compile count AND keeping the hot path on the
+        listed size that is >= the incoming batch (batches beyond the
+        largest bucket round up to a multiple of the last bucket),
+        bounding compile count AND keeping the hot path on the
         measured serving sweet spots — off-bucket batches both
         recompile and run far slower (B=128: 3864 clips/s vs B=144:
         2647 on v5e; STATUS.md batch envelope).  Padded rows repeat the
@@ -85,7 +86,13 @@ class GroundingPredictor:
 
     @classmethod
     def from_experiment(cls, experiment_path: str, which: str = "best",
-                        mesh=None) -> "GroundingPredictor":
+                        mesh=None, batch_buckets: tuple | None = None
+                        ) -> "GroundingPredictor":
+        """``batch_buckets``: override the padding buckets (pass ``()``
+        to run exact incoming sizes).  When ``None``, uses the config's
+        ``inference_args.batch_buckets`` if present, else the class
+        default — callers with known odd batch sizes (e.g. the DESED
+        per-clip class sweep) can tune or disable bucketing here."""
         from texttoaudiogrounding_tpu.training.train_state import \
             load_checkpoint
         exp_dir = Path(experiment_path)
@@ -121,8 +128,14 @@ class GroundingPredictor:
         time_res = config["data"]["train"]["dataset"]["args"].get(
             "time_resolution",
             config.get("inference_args", {}).get("time_resolution", 0.04))
+        kwargs = {}
+        if batch_buckets is None:
+            batch_buckets = config.get("inference_args", {}).get(
+                "batch_buckets")
+        if batch_buckets is not None:
+            kwargs["batch_buckets"] = tuple(batch_buckets)
         return cls(model, variables, tokenizer, time_resolution=time_res,
-                   mesh=mesh)
+                   mesh=mesh, **kwargs)
 
     def predict(self, audio: np.ndarray, audio_len: np.ndarray,
                 text: List[str],
