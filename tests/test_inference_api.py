@@ -167,7 +167,7 @@ def test_batch_bucketing(experiment, rng):
     from texttoaudiogrounding_tpu.inference import GroundingPredictor
 
     predictor = GroundingPredictor.from_experiment(str(experiment))
-    assert predictor.batch_buckets == (1, 8, 16, 32, 128)
+    assert predictor.batch_buckets == (1, 8, 16, 32, 64, 128)
 
     # buckets are overridable per-call site (ADVICE round 3: e.g. the
     # DESED per-clip class sweep wants its own size or exact batches)
@@ -201,3 +201,40 @@ def test_batch_bucketing(experiment, rng):
     ref = exact.predict(audio[:3], lens[:3], text[:3])
     np.testing.assert_allclose(probs3, ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(probs5[:3], ref, rtol=1e-5, atol=1e-6)
+
+
+def test_batch_splitting(experiment, rng):
+    """Batches beyond the largest bucket are SPLIT into bucket-sized
+    sub-batches (off-128 sizes run far slower monolithically — the
+    round-3 B=144 envelope finding), and results match row-for-row."""
+    from texttoaudiogrounding_tpu.inference import GroundingPredictor
+
+    predictor = GroundingPredictor.from_experiment(str(experiment))
+    # plan shapes: greedy largest bucket + one padded remainder chunk
+    assert predictor._chunk_plan(144) == [(0, 128, 128), (128, 16, 16)]
+    assert predictor._chunk_plan(300) == [(0, 128, 128), (128, 128, 128),
+                                          (256, 44, 64)]
+    assert predictor._chunk_plan(128) == [(0, 128, 128)]
+    assert predictor._chunk_plan(5) == [(0, 5, 8)]
+
+    small = GroundingPredictor.from_experiment(str(experiment),
+                                               batch_buckets=(1, 2, 4))
+    seen = []
+    orig = small._forward
+
+    def spy(variables, batch):
+        seen.append(batch["waveform"].shape[0])
+        return orig(variables, batch)
+
+    small._forward = spy
+    audio = (rng.normal(size=(7, 32000)) * 0.1).astype(np.float32)
+    lens = np.full(7, 32000, np.int64)
+    text = ["dog barking", "a man", "water", "dog", "a", "b", "c"]
+    probs = small.predict(audio, lens, text)
+    assert seen == [4, 4]  # 7 -> 4 + (3 padded to 4)
+    assert probs.shape[0] == 7
+
+    exact = GroundingPredictor.from_experiment(str(experiment),
+                                               batch_buckets=())
+    ref = exact.predict(audio, lens, text)
+    np.testing.assert_allclose(probs, ref, rtol=1e-5, atol=1e-6)

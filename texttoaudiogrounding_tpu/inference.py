@@ -36,7 +36,7 @@ class GroundingPredictor:
     def __init__(self, model, variables, tokenizer,
                  time_resolution: float = 0.04,
                  audio_bucket: int = 32000, text_bucket: int = 4,
-                 batch_buckets: tuple = (1, 8, 16, 32, 128),
+                 batch_buckets: tuple = (1, 8, 16, 32, 64, 128),
                  mesh=None):
         """``mesh``: an optional ``jax.sharding.Mesh`` with a ``data``
         axis — serving then shards the batch over it (GSPMD data
@@ -44,15 +44,17 @@ class GroundingPredictor:
         scales linearly without code changes; batches that don't divide
         the mesh are padded and trimmed transparently.
 
-        ``batch_buckets``: the batch dim is padded up to the smallest
-        listed size that is >= the incoming batch (batches beyond the
-        largest bucket round up to a multiple of the last bucket),
-        bounding compile count AND keeping the hot path on the
-        measured serving sweet spots — off-bucket batches both
-        recompile and run far slower (B=128: 3864 clips/s vs B=144:
-        2647 on v5e; STATUS.md batch envelope).  Padded rows repeat the
-        last clip and are trimmed from the output.  Pass ``()``/None
-        to run exact incoming sizes."""
+        ``batch_buckets``: incoming batches are SPLIT into bucket-sized
+        sub-batches — chunks of the largest bucket while the remainder
+        exceeds it, then one final chunk padded up to the smallest
+        listed size that covers the rest.  This bounds compile count
+        AND keeps every launched batch on a measured serving sweet
+        spot: off-bucket batches run far slower than their split
+        (B=144 runs 2647 clips/s monolithic vs ~3730 as 128+16;
+        B=256 runs 3607 monolithic vs 3873 as 2x128 — STATUS.md batch
+        envelope).  Padded rows repeat the last clip and are trimmed
+        from the output.  Pass ``()``/None to run exact incoming
+        sizes."""
         import jax
 
         self.model = model
@@ -166,29 +168,50 @@ class GroundingPredictor:
             batch["text"] = batch["text"][:, None]
             batch["text_len"] = batch["text_len"][:, None]
         real_b = batch["waveform"].shape[0]
-        target = real_b
-        if self.batch_buckets:
-            bigger = [b for b in self.batch_buckets if b >= real_b]
-            target = (bigger[0] if bigger
-                      else round_up(real_b, self.batch_buckets[-1]))
-        if self._batch_multiple > 1:
-            target = round_up(target, self._batch_multiple)
-        if target != real_b:
-            from texttoaudiogrounding_tpu.parallel.mesh import \
-                pad_batch_to_multiple
-            # real_b <= target, so padding to a multiple of ``target``
-            # pads to exactly ``target`` rows
-            batch, real_b = pad_batch_to_multiple(batch, target)
-        out = self._forward(self.variables, batch)
-        frame_sim = np.asarray(out["frame_sim"])[:real_b]
-        if frame_sim.ndim == 3:
-            frame_sim = frame_sim[..., 0]
-        lengths = np.asarray(out["length"])[:real_b]
+        sims, lens = [], []
+        for start, size, target in self._chunk_plan(real_b):
+            chunk = {k: v[start:start + size] for k, v in batch.items()}
+            if target != size:
+                from texttoaudiogrounding_tpu.parallel.mesh import \
+                    pad_batch_to_multiple
+                # size <= target, so padding to a multiple of ``target``
+                # pads to exactly ``target`` rows
+                chunk, _ = pad_batch_to_multiple(chunk, target)
+            out = self._forward(self.variables, chunk)
+            frame_sim = np.asarray(out["frame_sim"])[:size]
+            if frame_sim.ndim == 3:
+                frame_sim = frame_sim[..., 0]
+            sims.append(frame_sim)
+            lens.append(np.asarray(out["length"])[:size])
+        frame_sim = np.concatenate(sims) if len(sims) > 1 else sims[0]
+        lengths = np.concatenate(lens) if len(lens) > 1 else lens[0]
         mask = np.arange(frame_sim.shape[1])[None] < lengths[:, None]
         masked = frame_sim * mask
         if return_length:
             return masked, lengths
         return masked
+
+    def _chunk_plan(self, b: int) -> list[tuple[int, int, int]]:
+        """Split a batch of ``b`` rows into (start, size, padded_target)
+        sub-batches per the bucket policy (see ``__init__``)."""
+        if not self.batch_buckets:
+            target = b
+            if self._batch_multiple > 1:
+                target = round_up(b, self._batch_multiple)
+            return [(0, b, target)]
+        largest = self.batch_buckets[-1]
+        plan = []
+        start = 0
+        while b - start > largest:
+            plan.append((start, largest, largest))
+            start += largest
+        rest = b - start
+        bigger = [x for x in self.batch_buckets if x >= rest]
+        target = bigger[0] if bigger else largest
+        if self._batch_multiple > 1:
+            target = round_up(target, self._batch_multiple)
+        plan.append((start, rest, target))
+        return plan
 
     def ground(self, audio: np.ndarray, audio_len, text: List[str],
                threshold: float = 0.5, window_size: int = 1
