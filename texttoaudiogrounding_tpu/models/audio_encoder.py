@@ -39,8 +39,9 @@ def _fused_conv_modes(dtype, train: bool):
     ``TTG_FUSED_CONV=bf16`` uses the fused kernels without quantization.
     Block 2 routes through the Cin=64 parity-split pair kernel
     (ops/pallas/conv_block_pair.py, 7.6 ms int8 / 8.4 bf16 vs 10.2 XLA
-    at B=128).  Block 1 stays on XLA (Cin=1 conv1 is VPU work; the K=16
-    im2col design measured 2x worse — STATUS.md).
+    at B=128).  Block 1 routes through the Cin=1 pair kernel
+    (ops/pallas/conv_block1_pair.py, round 4); ``TTG_FUSED_B1=0`` opts
+    back to XLA for it.
     """
     import os
 
@@ -53,7 +54,7 @@ def _fused_conv_modes(dtype, train: bool):
     if not pallas_supported():
         return (False, False, False, False)
     mode = "int8" if env == "int8" else True
-    return (False, mode, mode, mode)
+    return (mode, mode, mode, mode)
 
 
 @register("Cnn8Rnn")

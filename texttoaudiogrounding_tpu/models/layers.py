@@ -43,7 +43,27 @@ class ConvBlock(nn.Module):
             from texttoaudiogrounding_tpu.ops.pallas.conv_block import (
                 _pick_tc, fold_bn, fused_double_conv_pool)
             quantize = fused == "int8"
-            if (x.shape[3] == 64 and self.out_channels % 128 == 0
+            if (x.shape[3] == 1 and self.out_channels == 64
+                    and x.shape[2] == 64 and tuple(pool_size) == (2, 2)):
+                # Cin=1 block1 pair kernel (conv_block1_pair.py):
+                # banded K=192 conv1 dot + register-resident triple-
+                # store + one K=768 conv2 dot + in-register dual pool.
+                import os
+                if os.environ.get("TTG_FUSED_B1", "1") != "0":
+                    from texttoaudiogrounding_tpu.ops.pallas. \
+                        conv_block1_pair import fused_block1_pair
+                    v = self.variables
+                    p, bs = v["params"], v["batch_stats"]
+                    ab1 = fold_bn(p["bn1"]["scale"], p["bn1"]["bias"],
+                                  bs["bn1"]["mean"], bs["bn1"]["var"])
+                    ab2 = fold_bn(p["bn2"]["scale"], p["bn2"]["bias"],
+                                  bs["bn2"]["mean"], bs["bn2"]["var"])
+                    return fused_block1_pair(
+                        x[..., 0], p["conv1"]["kernel"], ab1,
+                        p["conv2"]["kernel"], ab2, quantize=quantize,
+                        compute_dtype=self.dtype)
+                ok = False
+            elif (x.shape[3] == 64 and self.out_channels % 128 == 0
                     and tuple(pool_size) == (2, 2) and x.shape[2] % 2 == 0):
                 # Cin=64 parity-split pair kernel (conv_block_pair.py):
                 # the only fused design that beats XLA at this geometry
