@@ -79,6 +79,30 @@ def test_f32_exact_mel3(t, m, cin, cout, pool):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("t,m,cin,cout,pool", CASES)
+@pytest.mark.parametrize("tri", [(True, True), (True, False),
+                                 (False, True)])
+def test_f32_exact_tri(t, m, cin, cout, pool, tri):
+    """The register-built im2col (tri) mode computes the same conv."""
+    x, w1, ab1, w2, ab2, ref = _case(t, m, cin, cout, pool)
+    got = np.asarray(fused_double_conv_pool(
+        jnp.asarray(x), jnp.asarray(w1), ab1, jnp.asarray(w2), ab2, pool,
+        compute_dtype=jnp.float32, tri=tri, interpret=True),
+        np.float32)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("tri", [(True, True), (False, True),
+                                 (True, False)])
+def test_int8_close_tri(tri):
+    x, w1, ab1, w2, ab2, ref = _case(8, 8, 128, 128, (1, 2))
+    got = np.asarray(fused_double_conv_pool(
+        jnp.asarray(x), jnp.asarray(w1), ab1, jnp.asarray(w2), ab2,
+        (1, 2), quantize=True, tri=tri, interpret=True), np.float32)
+    rms = np.sqrt(np.mean((got - ref) ** 2)) / np.sqrt(np.mean(ref ** 2))
+    assert rms < 0.06, rms
+
+
 @pytest.mark.parametrize("t,m,cin,cout,pool", CASES[:1])
 def test_multi_chunk_matches_single(t, m, cin, cout, pool):
     """Chunked execution is invisible in the output."""

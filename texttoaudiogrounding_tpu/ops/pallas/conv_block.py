@@ -188,6 +188,43 @@ def _mel3_build(dst_ref, src_ref, rows: int, m: int, cin: int, kp: int,
     return s
 
 
+def _tri_build1(dst_ref, v, rows: int, m: int, cin: int):
+    """Register-resident mel-im2col for conv1: like :func:`_mel3_build`
+    but sourced from an in-register VALUE ``v`` ([rows+2, cin], 1-row
+    lead/tail already in the padded clip copy) — one load + three
+    stores instead of the ref->ref build's four loads + four stores
+    (the staging tax that made mel3 lose to direct9, STATUS.md)."""
+    mel = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % m
+    zero = jnp.zeros((), v.dtype)
+    dst_ref[:, 0:cin] = jnp.where(mel != 0, v[0:rows], zero)
+    dst_ref[:, cin:2 * cin] = v[1:rows + 1]
+    dst_ref[:, 2 * cin:3 * cin] = jnp.where(mel != m - 1, v[2:rows + 2],
+                                            zero)
+
+
+def _tri_build2(dst_ref, y1q, rows1: int, m: int, c: int, j):
+    """Register-resident mel-im2col for conv2: ``y1q`` ([rows1, c]) has
+    no lead/tail rows — its out-of-range taps land exactly on the
+    mel-edge-masked rows, so the edge rows of the shifted stores are
+    zero slots prefilled once at chunk 0."""
+    import jax.experimental.pallas as pl
+
+    mel = jax.lax.broadcasted_iota(jnp.int32, (rows1, 1), 0) % m
+    zero = jnp.zeros((), y1q.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        dst_ref[0:1, 0:c] = jnp.zeros((1, c), dst_ref.dtype)
+        dst_ref[rows1 - 1:rows1, 2 * c:3 * c] = jnp.zeros(
+            (1, c), dst_ref.dtype)
+
+    dst_ref[1:rows1, 0:c] = jnp.where(mel[1:] != 0, y1q[0:rows1 - 1],
+                                      zero)
+    dst_ref[:, c:2 * c] = y1q
+    dst_ref[0:rows1 - 1, 2 * c:3 * c] = jnp.where(
+        mel[:rows1 - 1] != m - 1, y1q[1:rows1], zero)
+
+
 def _conv3(src_ref, w_ref, rows: int, m: int, kp: int, acc_dtype):
     """3 time-tap dots over a mel-im2col buffer; K = kpad(3*Cin)."""
     acc = jnp.zeros((rows, w_ref.shape[1]), acc_dtype)
@@ -202,7 +239,8 @@ def _conv3(src_ref, w_ref, rows: int, m: int, kp: int, acc_dtype):
 def _kernel(x_ref, w1_ref, w2_ref, ab_ref, sx_ref, out_ref, xp_ref,
             xc_ref, xc3_ref, y1_ref, y2c_ref, *, t: int, m: int,
             cin: int, cout: int, pt: int, pm: int, tc: int,
-            quantize: bool, mel3_1: bool, mel3_2: bool):
+            quantize: bool, mel3_1: bool, mel3_2: bool,
+            tri_1: bool = False, tri_2: bool = False):
     """Grid = (batch, time chunks).  Chunk ``j`` computes output times
     ``[j*tc, (j+1)*tc)``; the time-padded input copy is built once at
     ``j == 0`` and persists in scratch across the clip's chunks.
@@ -225,17 +263,21 @@ def _kernel(x_ref, w1_ref, w2_ref, ab_ref, sx_ref, out_ref, xp_ref,
         xp_ref[pl.ds(2 * m + 1, t * m)] = x_ref[0]
         xp_ref[pl.ds((t + 2) * m + 1, 2 * m + 1)] = jnp.zeros(
             (2 * m + 1, cin), xp_ref.dtype)
-        y1_ref[0:1] = jnp.zeros((1, cout), y1_ref.dtype)
+        if not tri_2:
+            y1_ref[0:1] = jnp.zeros((1, cout), y1_ref.dtype)
 
     rows1 = (tc + 2) * m                           # conv1 rows (with halo)
     rows2 = tc * m                                 # conv2 rows
     rows_x = (tc + 4) * m
-    y1_ref[rows1 + 1:rows1 + 2] = jnp.zeros((1, cout), y1_ref.dtype)
+    if not tri_2:
+        y1_ref[rows1 + 1:rows1 + 2] = jnp.zeros((1, cout), y1_ref.dtype)
 
     # stage this chunk's padded-input window with ONE dynamic-offset copy;
     # all reads below use static offsets (dynamic starts on dot operands
-    # fail to lower in Mosaic)
-    xc_ref[...] = xp_ref[pl.ds(j * rows2, rows_x + 2)]
+    # fail to lower in Mosaic).  tri_1 instead builds the im2col buffer
+    # straight from the loaded value (no intermediate copy at all).
+    if not tri_1:
+        xc_ref[...] = xp_ref[pl.ds(j * rows2, rows_x + 2)]
 
     acc_dtype = jnp.int32 if quantize else jnp.float32
     a1 = ab_ref[0:1]
@@ -245,7 +287,13 @@ def _kernel(x_ref, w1_ref, w2_ref, ab_ref, sx_ref, out_ref, xp_ref,
     t0 = j * tc
 
     # ---- conv1: y1 over times [t0-1, t0+tc+1) ----
-    if mel3_1:
+    if tri_1:
+        kp1 = w1_ref.shape[0] // 3
+        s1 = sx_ref[pl.program_id(0), 0] if quantize else 1.0
+        _tri_build1(xc3_ref, xp_ref[pl.ds(j * rows2, rows_x + 2)],
+                    rows_x, m, cin)
+        acc1 = _conv3(xc3_ref, w1_ref, rows1, m, kp1, acc_dtype)
+    elif mel3_1:
         kp1 = w1_ref.shape[0] // 3
         s1 = _mel3_build(xc3_ref, xc_ref, rows_x, m, cin, kp1, quantize)
         acc1 = _conv3(xc3_ref, w1_ref, rows1, m, kp1, acc_dtype)
@@ -258,7 +306,16 @@ def _kernel(x_ref, w1_ref, w2_ref, ab_ref, sx_ref, out_ref, xp_ref,
     tvalid = ((trow1 + (t0 - 1)) >= 0) & ((trow1 + (t0 - 1)) < t)
     y1f = acc1.astype(jnp.float32) * (a1 * s1) + b1
     y1f = jnp.where(tvalid, jnp.maximum(y1f, 0.0), 0.0)
-    if quantize and not mel3_2:
+    if tri_2:
+        # the im2col buffer is built straight from registers; no y1 copy
+        if quantize:
+            sy = jnp.maximum(jnp.max(y1f), 1e-6) / 127.0
+            y1q = _quant_i8(y1f, 1.0 / sy)
+        else:
+            sy = 1.0
+            y1q = y1f.astype(y2c_ref.dtype)
+        _tri_build2(y2c_ref, y1q, rows1, m, cout, j)
+    elif quantize and not mel3_2:
         # direct9 int8 conv2 consumes an int8 y1: quantize on store
         sy = jnp.maximum(jnp.max(y1f), 1e-6) / 127.0
         y1_ref[pl.ds(1, rows1)] = _quant_i8(y1f, 1.0 / sy)
@@ -267,7 +324,11 @@ def _kernel(x_ref, w1_ref, w2_ref, ab_ref, sx_ref, out_ref, xp_ref,
         y1_ref[pl.ds(1, rows1)] = y1f.astype(y1_ref.dtype)
 
     # ---- conv2 + pool over times [t0, t0+tc) ----
-    if mel3_2:
+    if tri_2:
+        kp2 = w2_ref.shape[0] // 3
+        s2 = sy
+        acc2 = _conv3(y2c_ref, w2_ref, rows2, m, kp2, acc_dtype)
+    elif mel3_2:
         kp2 = w2_ref.shape[0] // 3
         s2 = _mel3_build(y2c_ref, y1_ref, rows1, m, cout, kp2, quantize)
         acc2 = _conv3(y2c_ref, w2_ref, rows2, m, kp2, acc_dtype)
@@ -304,6 +365,7 @@ def fused_double_conv_pool(x: jax.Array, w1: jax.Array, ab1: tuple,
                            pool: tuple = (2, 2), *, quantize: bool = False,
                            tc: int | None = None,
                            mel3: tuple | None = None,
+                           tri: tuple | None = None,
                            compute_dtype: jnp.dtype = jnp.bfloat16,
                            interpret: bool | None = None) -> jax.Array:
     """Fused (conv3x3->BN->ReLU)x2 -> dual pool for one PANNs block.
@@ -335,7 +397,7 @@ def fused_double_conv_pool(x: jax.Array, w1: jax.Array, ab1: tuple,
         return maybe_shard(
             lambda x_, w1_, a1, b1, w2_, a2, b2: fused_double_conv_pool(
                 x_, w1_, (a1, b1), w2_, (a2, b2), pool,
-                quantize=quantize, tc=tc, mel3=mel3,
+                quantize=quantize, tc=tc, mel3=mel3, tri=tri,
                 compute_dtype=compute_dtype, interpret=interpret),
             (x, w1, *ab1, w2, *ab2),
             (0, None, None, None, None, None, None))
@@ -346,6 +408,11 @@ def fused_double_conv_pool(x: jax.Array, w1: jax.Array, ab1: tuple,
     if mel3 is None:
         mel3 = (not quantize and cin < 128, False)
     mel3_1, mel3_2 = mel3
+    tri_1, tri_2 = tri if tri is not None else (False, False)
+    if tri_1:
+        mel3_1 = False
+    if tri_2:
+        mel3_2 = False
     if quantize and mel3_2 and not mel3_1:
         raise ValueError(
             "quantize=True with mel3=(False, True) is unsupported: int8 "
@@ -376,9 +443,9 @@ def fused_double_conv_pool(x: jax.Array, w1: jax.Array, ab1: tuple,
     else:
         sxv = jnp.ones((b, 1), jnp.float32)
         xf = xf.astype(in_dtype)
-    kp1 = _kpad(3 * cin, quantize) if mel3_1 else cin
-    kp2 = _kpad(3 * cout, quantize) if mel3_2 else cout
-    if mel3_1:
+    kp1 = _kpad(3 * cin, quantize) if (mel3_1 or tri_1) else cin
+    kp2 = _kpad(3 * cout, quantize) if (mel3_2 or tri_2) else cout
+    if mel3_1 or tri_1:
         w1f, sw1 = _prep_w(w1, kp1, quantize, compute_dtype)
     elif quantize:
         s = jnp.maximum(jnp.max(jnp.abs(w1), axis=(0, 1, 2)), 1e-8) / 127.0
@@ -388,7 +455,7 @@ def fused_double_conv_pool(x: jax.Array, w1: jax.Array, ab1: tuple,
     else:
         w1f = w1.astype(compute_dtype).reshape(9 * cin, cout)
         sw1 = None
-    if mel3_2:
+    if mel3_2 or tri_2:
         w2f, sw2 = _prep_w(w2, kp2, quantize, compute_dtype)
     elif quantize:
         s = jnp.maximum(jnp.max(jnp.abs(w2), axis=(0, 1, 2)), 1e-8) / 127.0
@@ -407,13 +474,14 @@ def fused_double_conv_pool(x: jax.Array, w1: jax.Array, ab1: tuple,
     ab = jnp.stack([a1, bb1, a2, bb2]).astype(jnp.float32)
 
     tc = tc or _pick_tc(t, m, cin, cout, pt, pm, quantize, compute_dtype,
-                        mel3)
+                        (mel3_1 or tri_1, mel3_2 or tri_2))
     rows1 = (tc + 2) * m
     rows_x = (tc + 4) * m
 
     kern = functools.partial(_kernel, t=t, m=m, cin=cin, cout=cout,
                              pt=pt, pm=pm, tc=tc, quantize=quantize,
-                             mel3_1=mel3_1, mel3_2=mel3_2)
+                             mel3_1=mel3_1, mel3_2=mel3_2,
+                             tri_1=tri_1, tri_2=tri_2)
     out = pl.pallas_call(
         kern,
         grid=(b, t // tc),
@@ -440,13 +508,14 @@ def fused_double_conv_pool(x: jax.Array, w1: jax.Array, ab1: tuple,
             jnp.bfloat16 if quantize else in_dtype),
         scratch_shapes=[
             pltpu.VMEM(((t + 4) * m + 2, cin), in_dtype),       # xp
-            pltpu.VMEM((rows_x + 2, cin), in_dtype),            # xc (chunk)
-            pltpu.VMEM((rows_x, kp1) if mel3_1 else (8, 128),
+            pltpu.VMEM((rows_x + 2, cin) if not tri_1
+                       else (8, 128), in_dtype),                # xc (chunk)
+            pltpu.VMEM((rows_x, kp1) if (mel3_1 or tri_1) else (8, 128),
                        q_dtype),                                # xc3
-            pltpu.VMEM((rows1 + 2, cout),
+            pltpu.VMEM((rows1 + 2, cout) if not tri_2 else (8, 128),
                        jnp.int8 if quantize and not mel3_2
                        else in_dtype),                          # y1
-            pltpu.VMEM((rows1, kp2) if mel3_2 else (8, 128),
+            pltpu.VMEM((rows1, kp2) if (mel3_2 or tri_2) else (8, 128),
                        q_dtype),                                # y2c
         ],
         interpret=interpret,
