@@ -105,14 +105,25 @@ class Cnn8Rnn(nn.Module):
         x = x[..., None].astype(self.dtype)  # NHWC: [B, T, M, 1]
         drop = lambda a: nn.Dropout(0.2, deterministic=not train)(a)
         fused = _fused_conv_modes(self.dtype, train)
-        x = drop(ConvBlock(64, dtype=self.dtype, name="conv_block1")(
-            x, bn_train=bn_train, pool_size=(2, 2), fused=fused[0]))
-        x = drop(ConvBlock(128, dtype=self.dtype, name="conv_block2")(
-            x, bn_train=bn_train, pool_size=(2, 2), fused=fused[1]))
-        x = drop(ConvBlock(256, dtype=self.dtype, name="conv_block3")(
-            x, bn_train=bn_train, pool_size=(1, 2), fused=fused[2]))
-        x = drop(ConvBlock(512, dtype=self.dtype, name="conv_block4")(
-            x, bn_train=bn_train, pool_size=(1, 2), fused=fused[3]))
+        import os
+        remat_ids = os.environ.get("TTG_TRAIN_REMAT", "") if train else ""
+
+        def block(i, ch, pool, xx, fz):
+            blk = ConvBlock(ch, dtype=self.dtype, name=f"conv_block{i}")
+            if str(i) in remat_ids:
+                # checkpoint the block: its backward is HBM-bound on the
+                # inter-conv activations, so recomputing can beat
+                # re-reading (probe: scripts/probe_train_r4.py)
+                return nn.remat(
+                    lambda m, v: m(v, bn_train=bn_train, pool_size=pool,
+                                   fused=fz),
+                    prevent_cse=False)(blk, xx)
+            return blk(xx, bn_train=bn_train, pool_size=pool, fused=fz)
+
+        x = drop(block(1, 64, (2, 2), x, fused[0]))
+        x = drop(block(2, 128, (2, 2), x, fused[1]))
+        x = drop(block(3, 256, (1, 2), x, fused[2]))
+        x = drop(block(4, 512, (1, 2), x, fused[3]))
 
         x = jnp.mean(x, axis=2)  # mean over mel → [B, T/4, 512]
         x = nn.Dropout(0.5, deterministic=not train)(x)

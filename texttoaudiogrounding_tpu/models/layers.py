@@ -33,6 +33,38 @@ class ConvBlock(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
+    def _pool_vjp_ok(self, pool_size, pool_type) -> bool:
+        """TTG_POOL_VJP = channel list (e.g. "128,256,512") opting blocks
+        into the Pallas relu+dual-pool custom VJP (training path)."""
+        import os
+        flag = os.environ.get("TTG_POOL_VJP", "")
+        if not flag or pool_type != "avg+max" or self.is_initializing():
+            return False
+        try:
+            chans = {int(v) for v in flag.replace(",", " ").split()}
+        except ValueError:
+            return False
+        return (self.out_channels in chans
+                and tuple(pool_size) in ((2, 2), (1, 2)))
+
+    def _pool_vjp_shape(self, x, pool_size) -> bool:
+        from texttoaudiogrounding_tpu.ops.pallas import dual_pool as dp
+        pt, pm = tuple(pool_size)
+        _, t, m, c = x.shape
+        t2 = t // pt * pt
+        if t2 == 0 or m % 2:
+            return False
+        try:
+            if dp._is_packed(x, (pt, pm)):
+                dp._pick_tc(t2, 32, pt)
+            elif c % 128 == 0:
+                dp._pick_tc(t2, m, pt)
+            else:
+                return False
+            return True
+        except ValueError:       # no valid chunk (e.g. prime short T)
+            return False
+
     @nn.compact
     def __call__(self, x: jax.Array, *, bn_train: bool,
                  pool_size: Sequence[int] = (2, 2),
@@ -147,6 +179,7 @@ class ConvBlock(nn.Module):
                     compute_dtype=self.dtype)
         # dtype threads through BN too: mixed f32 BN between bf16 convs
         # forces dtype converts that cost more than the bf16 win
+        pool_vjp = self._pool_vjp_ok(pool_size, pool_type)
         for name in ("conv1", "conv2"):
             x = nn.Conv(self.out_channels, (3, 3), use_bias=False,
                         padding="SAME", kernel_init=xavier_uniform,
@@ -154,6 +187,19 @@ class ConvBlock(nn.Module):
             x = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name=name.replace("conv", "bn"))(x)
+            if (name == "conv2" and pool_vjp
+                    and self._pool_vjp_shape(x, pool_size)):
+                # Pallas relu+dual-pool with a mask-recompute backward —
+                # beats XLA's SelectAndScatter VJP at the Cnn8Rnn block
+                # shapes (scripts/probe_pool_vjp.py); identical forward
+                # + torch-semantics gradient (tests/test_pallas_dual_pool)
+                import os
+
+                from texttoaudiogrounding_tpu.ops.pallas.dual_pool import (
+                    dual_pool_relu)
+                interp = os.environ.get("TTG_PALLAS_INTERPRET") == "1"
+                return dual_pool_relu(x, tuple(pool_size),
+                                      interpret=interp)
             x = nn.relu(x)
         window = (1, *pool_size, 1)
         if pool_type == "max":
