@@ -39,7 +39,8 @@ def main():
                                                  EmbeddingAgg)
     from texttoaudiogrounding_tpu.models.match import DotProduct
 
-    b = 128
+    import os as _os
+    b = int(_os.environ.get("TTG_PROBE_B", "128"))
     rng = np.random.default_rng(0)
     n = 320000
     n_frames = (n // 320 + 1) // 4

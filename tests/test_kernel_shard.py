@@ -172,6 +172,25 @@ def test_bigru_trainable_gradients_survive_shard_map():
             np.asarray(b_), np.asarray(a), rtol=1e-5, atol=1e-6,
             err_msg=name)
 
+    # the round-4 backward redesign shards identically (its post-walk
+    # dWh einsum runs inside the per-shard function, so the transpose
+    # still psums the replicated cotangents)
+    from texttoaudiogrounding_tpu.ops.pallas.gru import (
+        bigru_pallas_trainable_v2,
+    )
+
+    def loss2(proj, wh, bn):
+        return jnp.sum(
+            jnp.sin(bigru_pallas_trainable_v2(proj, wh, bn,
+                                              interpret=True)))
+
+    with kernel_mesh(_mesh()):
+        g2 = jax.jit(jax.grad(loss2, argnums=(0, 1, 2)))(proj, wh, bn)
+    for name, a, b_ in zip(("dproj", "dwh", "dbn"), g_plain, g2):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=1e-5, atol=1e-6,
+            err_msg=name)
+
 
 def test_non_divisible_batch_falls_back_to_plain():
     from texttoaudiogrounding_tpu.ops.pallas.conv_block import (

@@ -114,3 +114,13 @@ def test_bigru_pallas_custom_vjp_grads():
     for name, rg, gg in zip(("proj", "wh", "bn"), ref_grads, got_grads):
         np.testing.assert_allclose(np.asarray(gg), np.asarray(rg),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
+
+    # round-4 backward redesign (dWh/dbn via the post-walk einsum)
+    from texttoaudiogrounding_tpu.ops.pallas.gru import (
+        bigru_pallas_trainable_v2,
+    )
+    v2_grads = jax.grad(loss(lambda p, w, c: bigru_pallas_trainable_v2(
+        p, w, c, interpret=True)), argnums=(0, 1, 2))(proj, wh, bn)
+    for name, rg, gg in zip(("proj", "wh", "bn"), ref_grads, v2_grads):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(rg),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)

@@ -267,6 +267,30 @@ def test_greedy_bertscore_identity_and_orthogonal():
     assert f1o < 0.2
 
 
+def test_greedy_bertscore_hand_golden():
+    """Hand-derived values from a fixed tiny embedding table (no engine
+    in the loop): cand {(1,0), (.6,.8)} vs ref {(0,1), (1,0)} gives the
+    greedy sim matrix [[0, 1], [.8, .6]] -> P = mean(1, .8) = .9,
+    R = mean(max(0,.8), max(1,.6)) = .9, F1 = .9; a one-token candidate
+    against a two-token reference gives P=1, R=.5, F1=2/3."""
+    from texttoaudiogrounding_tpu.tools.score_backends import (
+        greedy_bertscore)
+
+    mask2 = np.array([True, True])
+    cand = np.array([[1.0, 0.0], [0.6, 0.8]])
+    ref = np.array([[0.0, 1.0], [1.0, 0.0]])
+    p, r, f1 = greedy_bertscore(cand, mask2, ref, mask2)
+    assert p == pytest.approx(0.9)
+    assert r == pytest.approx(0.9)
+    assert f1 == pytest.approx(0.9)
+
+    one = np.array([[2.0, 0.0]])          # non-unit norm: must normalize
+    p, r, f1 = greedy_bertscore(one, np.array([True]), ref, mask2)
+    assert p == pytest.approx(1.0)
+    assert r == pytest.approx(0.5)
+    assert f1 == pytest.approx(2 / 3)
+
+
 def test_bertscore_matrix_picks_shared_word_label():
     """With a bag-of-words encoder, the label sharing tokens with the
     phrase must win the argmax (the mapping semantics the reference

@@ -392,7 +392,8 @@ class BiGRU(nn.Module):
                               "1" if dt == jnp.float32 else "0")
         if flag == "1" and not self.is_initializing():
             from texttoaudiogrounding_tpu.ops.pallas.gru import (
-                bigru_pallas, bigru_pallas_trainable)
+                bigru_pallas, bigru_pallas_trainable,
+                bigru_pallas_trainable_v2)
             from texttoaudiogrounding_tpu.ops.pallas.logmel import \
                 pallas_supported
             if pallas_supported():
@@ -407,7 +408,21 @@ class BiGRU(nn.Module):
                 bsz, tlen = x.shape[0], x.shape[1]
                 tproj = tproj.reshape(tlen, 2 * bsz, 3 * h)
                 if dt == jnp.float32:
-                    ys = bigru_pallas_trainable(tproj, wh, bn)
+                    # the round-3 all-in-kernel backward stays default:
+                    # both round-4 redesigns measured SLOWER standalone
+                    # (v2 dcols-scratch 6.00, v3 einsum-hoist 5.04 vs
+                    # 4.41 ms — the per-step drznn output write + the
+                    # post-walk dWh einsum cost more than the in-kernel
+                    # dW dots they remove; scripts/probe_gru_bwd_r4.py)
+                    variant = os.environ.get("TTG_GRU_BWD", "v1")
+                    if variant == "v2":
+                        ys = bigru_pallas_trainable_v2(tproj, wh, bn)
+                    elif variant == "v3":
+                        from texttoaudiogrounding_tpu.ops.pallas.gru \
+                            import bigru_pallas_trainable_v3
+                        ys = bigru_pallas_trainable_v3(tproj, wh, bn)
+                    else:
+                        ys = bigru_pallas_trainable(tproj, wh, bn)
                 else:
                     ys = bigru_pallas(tproj, wh, bn, dtype=dt)
                 ys = jnp.moveaxis(ys.reshape(tlen, 2, bsz, h), 0, 2)

@@ -247,6 +247,281 @@ def _bigru_diff_fwd(proj, wh, bn, interpret):
 _bigru_diff.defvjp(_bigru_diff_fwd, _bigru_bwd)
 
 
+def _bwd_kernel_v2(proj_ref, ysp_ref, g_ref, wh_ref, wht_ref, bnb_ref,
+                   dproj_ref, drznn_ref, dh_ref, dcols_ref, *,
+                   b: int, h: int):
+    """Reversed-grid backward, round-4 redesign: the kernel only runs
+    the sequential part (gate recompute + the dh chain); dWh/dbn move
+    to one XLA einsum over T after the walk (probe_gru_bwd_r4.py — the
+    in-kernel per-step dW accumulation was 3 extra dots + ~0.8 M VPU
+    adds per step).  Both directions' gate math is batched on [2B, .]
+    blocks; the dh contribution is ONE K=3H dot per direction from a
+    dcols scratch (lane-axis concat does not lower; column stores do)."""
+    import jax.experimental.pallas as pl
+
+    jj = pl.program_id(0)
+
+    @pl.when(jj == 0)
+    def _():
+        dh_ref[...] = jnp.zeros((2 * b, h), jnp.float32)
+
+    pp = proj_ref[0]
+    h_prev = ysp_ref[0]
+    gt = g_ref[0]
+    rzn = jnp.concatenate([
+        jax.lax.dot_general(h_prev[:b], wh_ref[:h],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32),
+        jax.lax.dot_general(h_prev[b:], wh_ref[h:],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)], axis=0)
+    r = jax.nn.sigmoid(pp[:, :h] + rzn[:, :h])
+    z = jax.nn.sigmoid(pp[:, h:2 * h] + rzn[:, h:2 * h])
+    an = rzn[:, 2 * h:] + bnb_ref[...]
+    n = jnp.tanh(pp[:, 2 * h:] + r * an)
+
+    dhp = gt + dh_ref[...]
+    dn = dhp * (1 - z)
+    dz = dhp * (h_prev - n)
+    da_n = dn * (1 - n * n)
+    dr = da_n * an
+    da_r = dr * r * (1 - r)
+    da_z = dz * z * (1 - z)
+    drzn_n = da_n * r
+    dcols_ref[:, :h] = da_r
+    dcols_ref[:, h:2 * h] = da_z
+    dcols_ref[:, 2 * h:] = drzn_n
+    dproj_ref[0, :, :h] = da_r
+    dproj_ref[0, :, h:2 * h] = da_z
+    dproj_ref[0, :, 2 * h:] = da_n
+    drznn_ref[0] = drzn_n
+    dh_ref[...] = dhp * z + jnp.concatenate([
+        jax.lax.dot_general(dcols_ref[:b], wht_ref[:3 * h],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32),
+        jax.lax.dot_general(dcols_ref[b:], wht_ref[3 * h:],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)], axis=0)
+
+
+def _bwd_kernel_v3(proj_ref, ysp_ref, g_ref, wh_ref, wht_ref, bn_ref,
+                   dproj_ref, drznn_ref, dh0_ref, dh1_ref, *,
+                   b: int, h: int):
+    """v3: the round-3 backward minus the in-kernel dW/dbn accumulation
+    (hoisted to the post-walk einsum) — per-direction register-resident
+    dh dots, no dcols scratch roundtrip, no cross-direction concats."""
+    import jax.experimental.pallas as pl
+
+    jj = pl.program_id(0)
+
+    @pl.when(jj == 0)
+    def _():
+        dh0_ref[...] = jnp.zeros((b, h), jnp.float32)
+        dh1_ref[...] = jnp.zeros((b, h), jnp.float32)
+
+    def step(dh_ref, g, rows):
+        pp = proj_ref[0, rows:rows + b]
+        h_prev = ysp_ref[0, rows:rows + b]
+        gt = g_ref[0, rows:rows + b]
+        rzn = jax.lax.dot_general(
+            h_prev, wh_ref[g * h:(g + 1) * h],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        bn = bn_ref[g:g + 1]
+        r = jax.nn.sigmoid(pp[:, :h] + rzn[:, :h])
+        z = jax.nn.sigmoid(pp[:, h:2 * h] + rzn[:, h:2 * h])
+        an = rzn[:, 2 * h:] + bn
+        n = jnp.tanh(pp[:, 2 * h:] + r * an)
+
+        dhp = gt + dh_ref[...]
+        dn = dhp * (1 - z)
+        dz = dhp * (h_prev - n)
+        da_n = dn * (1 - n * n)
+        dr = da_n * an
+        da_r = dr * r * (1 - r)
+        da_z = dz * z * (1 - z)
+        drzn_n = da_n * r
+        dproj_ref[0, rows:rows + b, 0:h] = da_r
+        dproj_ref[0, rows:rows + b, h:2 * h] = da_z
+        dproj_ref[0, rows:rows + b, 2 * h:3 * h] = da_n
+        drznn_ref[0, rows:rows + b] = drzn_n
+        dh_new = dhp * z
+        for third, dcol in ((0, da_r), (1, da_z), (2, drzn_n)):
+            dh_new = dh_new + jax.lax.dot_general(
+                dcol, wht_ref[(g * 3 + third) * h:(g * 3 + third + 1) * h],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dh_ref[...] = dh_new
+
+    step(dh0_ref, 0, 0)
+    step(dh1_ref, 1, b)
+
+
+def _bigru_bwd_v3(interpret, res, g):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    proj, ys, wh, bn = res
+    t, b2, h3 = proj.shape
+    b, h = b2 // 2, h3 // 3
+    ysp = jnp.concatenate([jnp.zeros((1, b2, h), jnp.float32),
+                           ys[:-1]], axis=0)
+    whf = wh.reshape(2 * h, h3).astype(jnp.float32)
+    wht = jnp.concatenate(
+        [whf[g * h:(g + 1) * h, th * h:(th + 1) * h].T
+         for g in range(2) for th in range(3)], axis=0)   # [6H, H]
+    rev = t - 1
+
+    kern = functools.partial(_bwd_kernel_v3, b=b, h=h)
+    dproj, drznn = pl.pallas_call(
+        kern,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b2, h3), lambda j, rev=rev: (rev - j, 0, 0)),
+            pl.BlockSpec((1, b2, h), lambda j, rev=rev: (rev - j, 0, 0)),
+            pl.BlockSpec((1, b2, h), lambda j, rev=rev: (rev - j, 0, 0)),
+            pl.BlockSpec((2 * h, h3), lambda j: (0, 0)),
+            pl.BlockSpec((6 * h, h), lambda j: (0, 0)),
+            pl.BlockSpec((2, h), lambda j: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b2, h3), lambda j, rev=rev: (rev - j, 0, 0)),
+            pl.BlockSpec((1, b2, h), lambda j, rev=rev: (rev - j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b2, h3), jnp.float32),
+            jax.ShapeDtypeStruct((t, b2, h), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, h), jnp.float32),
+                        pltpu.VMEM((b, h), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(proj.astype(jnp.float32), ysp, g.astype(jnp.float32), whf, wht,
+      jnp.asarray(bn, jnp.float32))
+    ysp4 = ysp.reshape(t, 2, b, h)
+    dcols = jnp.concatenate([dproj[..., :2 * h], drznn], axis=-1)
+    dwh = jnp.einsum("tgbh,tgbk->ghk", ysp4,
+                     dcols.reshape(t, 2, b, h3),
+                     preferred_element_type=jnp.float32)
+    dbn = jnp.einsum("tgbh->gh", drznn.reshape(t, 2, b, h))
+    return dproj, dwh.reshape(wh.shape), dbn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bigru_diff_v3(proj, wh, bn, interpret):
+    return bigru_pallas(proj, wh, bn, dtype=jnp.float32,
+                        interpret=interpret)
+
+
+_bigru_diff_v3.defvjp(lambda proj, wh, bn, interpret:
+                      _bigru_fwd(proj, wh, bn, interpret),
+                      _bigru_bwd_v3)
+
+
+def _bigru_bwd_v2(interpret, res, g):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    proj, ys, wh, bn = res
+    t, b2, h3 = proj.shape
+    b, h = b2 // 2, h3 // 3
+    ysp = jnp.concatenate([jnp.zeros((1, b2, h), jnp.float32),
+                           ys[:-1]], axis=0)
+    whf = wh.reshape(2 * h, h3).astype(jnp.float32)
+    # full per-direction transposes [3H, H] stacked -> [6H, H]
+    wht = jnp.concatenate([whf[:h].T, whf[h:].T], axis=0)
+    bnb = jnp.concatenate(
+        [jnp.broadcast_to(bn[0], (b, h)),
+         jnp.broadcast_to(bn[1], (b, h))], axis=0).astype(jnp.float32)
+    rev = t - 1
+
+    kern = functools.partial(_bwd_kernel_v2, b=b, h=h)
+    dproj, drznn = pl.pallas_call(
+        kern,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b2, h3), lambda j, rev=rev: (rev - j, 0, 0)),
+            pl.BlockSpec((1, b2, h), lambda j, rev=rev: (rev - j, 0, 0)),
+            pl.BlockSpec((1, b2, h), lambda j, rev=rev: (rev - j, 0, 0)),
+            pl.BlockSpec((2 * h, h3), lambda j: (0, 0)),
+            pl.BlockSpec((6 * h, h), lambda j: (0, 0)),
+            pl.BlockSpec((b2, h), lambda j: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b2, h3), lambda j, rev=rev: (rev - j, 0, 0)),
+            pl.BlockSpec((1, b2, h), lambda j, rev=rev: (rev - j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b2, h3), jnp.float32),
+            jax.ShapeDtypeStruct((t, b2, h), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((b2, h), jnp.float32),
+                        pltpu.VMEM((b2, h3), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(proj.astype(jnp.float32), ysp, g.astype(jnp.float32), whf, wht,
+      bnb)
+    # dWh[g] = sum_t h_prev_t^T @ [da_r | da_z | da_n*r]_t — one big
+    # MXU einsum (contracting T*B) instead of 3 in-kernel dots/step
+    ysp4 = ysp.reshape(t, 2, b, h)
+    dcols = jnp.concatenate([dproj[..., :2 * h], drznn], axis=-1)
+    dwh = jnp.einsum("tgbh,tgbk->ghk", ysp4,
+                     dcols.reshape(t, 2, b, h3),
+                     preferred_element_type=jnp.float32)
+    dbn = jnp.einsum("tgbh->gh", drznn.reshape(t, 2, b, h))
+    return dproj, dwh.reshape(wh.shape), dbn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bigru_diff_v2(proj, wh, bn, interpret):
+    return bigru_pallas(proj, wh, bn, dtype=jnp.float32,
+                        interpret=interpret)
+
+
+_bigru_diff_v2.defvjp(lambda proj, wh, bn, interpret:
+                      _bigru_fwd(proj, wh, bn, interpret),
+                      _bigru_bwd_v2)
+
+
+def bigru_pallas_trainable_v2(proj: jax.Array, wh: jax.Array,
+                              bn: jax.Array, *,
+                              interpret: bool | None = None) -> jax.Array:
+    """:func:`bigru_pallas_trainable` with the round-4 backward redesign
+    (same forward kernel; dWh/dbn hoisted out of the sequential walk).
+    Mathematically identical gradients up to f32 summation order."""
+    from texttoaudiogrounding_tpu.ops.pallas.logmel import default_interpret
+    from texttoaudiogrounding_tpu.parallel.kernel_shard import (
+        active_kernel_mesh, maybe_shard)
+    if interpret is None:
+        interpret = default_interpret()
+    if active_kernel_mesh() is not None:
+        return _shard_bigru(
+            functools.partial(bigru_pallas_trainable_v2,
+                              interpret=interpret),
+            proj, wh, bn, maybe_shard)
+    return _bigru_diff_v2(proj, wh, bn, interpret)
+
+
+def bigru_pallas_trainable_v3(proj: jax.Array, wh: jax.Array,
+                              bn: jax.Array, *,
+                              interpret: bool | None = None) -> jax.Array:
+    """v3 backward: register-resident per-direction dh dots (as v1)
+    with the dWh/dbn einsum hoist (as v2)."""
+    from texttoaudiogrounding_tpu.ops.pallas.logmel import default_interpret
+    from texttoaudiogrounding_tpu.parallel.kernel_shard import (
+        active_kernel_mesh, maybe_shard)
+    if interpret is None:
+        interpret = default_interpret()
+    if active_kernel_mesh() is not None:
+        return _shard_bigru(
+            functools.partial(bigru_pallas_trainable_v3,
+                              interpret=interpret),
+            proj, wh, bn, maybe_shard)
+    return _bigru_diff_v3(proj, wh, bn, interpret)
+
+
 def _shard_bigru(entry, proj, wh, bn, maybe_shard):
     """Batch-shard a BiGRU entry over the active kernel mesh.
 
