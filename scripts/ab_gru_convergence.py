@@ -63,6 +63,8 @@ def main():
     from texttoaudiogrounding_tpu.models.match import DotProduct
 
     arm = "pallas" if os.environ.get("TTG_PALLAS_GRU") == "1" else "scan"
+    if os.environ.get("TTG_GRU_BWD") == "bf16":
+        arm += "-bf16"   # bf16-recurrence trainable variant (round 5)
     b, steps = 32, 80
     rng = np.random.default_rng(7)
     batches = [make_batch(rng, b) for _ in range(8)]

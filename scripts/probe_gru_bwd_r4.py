@@ -7,6 +7,9 @@ Modes (argv[1]):
            (dWh/dbn via one XLA einsum over T afterwards), single
            K=3H dh dot from a dcols scratch, both directions' gate
            math batched on [2B, .] blocks
+  bf16   — round-5 bf16-recurrence variant: bf16 operands on every
+           dot (fwd carry, gate recompute, dh chain, dWh), f32 gate
+           math + accumulators; the proj einsum operands cast bf16 too
 Measures the einsum-proj + recurrence + loss-reduction fwd+bwd in
 isolation (chained iterations, one scalar fetch).
 """
@@ -53,14 +56,18 @@ def main():
     else:
         entry = {"cur": gru_mod.bigru_pallas_trainable,
                  "v2": gru_mod.bigru_pallas_trainable_v2,
-                 "v3": gru_mod.bigru_pallas_trainable_v3}[MODE]
+                 "v3": gru_mod.bigru_pallas_trainable_v3,
+                 "bf16": gru_mod.bigru_pallas_trainable_bf16}[MODE]
+        pdt = jnp.bfloat16 if MODE == "bf16" else jnp.float32
 
         def loss(wargs, x):
             wih, bih, wh, bn = wargs
             # hoisted input projections, both directions + flip (as in
             # models/layers.py BiGRU)
-            p0 = x @ wih[0] + bih[0]
-            p1 = x[:, ::-1] @ wih[1] + bih[1]
+            xd = x.astype(pdt)
+            wd = wih.astype(pdt)
+            p0 = (xd @ wd[0]).astype(jnp.float32) + bih[0]
+            p1 = (xd[:, ::-1] @ wd[1]).astype(jnp.float32) + bih[1]
             proj = jnp.concatenate(
                 [p0.transpose(1, 0, 2), p1.transpose(1, 0, 2)], axis=1)
             ys = entry(proj, wh, bn)

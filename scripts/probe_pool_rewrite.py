@@ -74,36 +74,9 @@ def main():
                                             - y3.astype(jnp.float32)))))
 
 
+# The old bench_pallas() tail benched a forward-only dual_pool_2x2 kernel
+# that the round-4 dual_pool.py rewrite (relu+pool custom-VJP, see
+# probe_pool_vjp.py / probe_pool_chain.py) superseded and removed.
+
 if __name__ == "__main__":
     main()
-
-
-def bench_pallas():
-    import numpy as np
-    from texttoaudiogrounding_tpu.ops.pallas.dual_pool import dual_pool_2x2
-    b = 128
-    rng = jax.random.PRNGKey(0)
-    for t in (1000, 1001):
-        x0 = jax.random.normal(rng, (b, t, 64, 64), jnp.bfloat16)
-
-        def pk(x, c):
-            y = dual_pool_2x2(x + c.astype(x.dtype))
-            return y, jnp.sum(y[0, 0, 0]).astype(jnp.float32)
-
-        ms = timeit(jax.jit(pk), (x0,))
-        print(f"pallas dual pool T={t}: {ms:6.2f} ms")
-        # parity vs reduce_window
-        w = (1, 2, 2, 1)
-        xe = x0[:, :t // 2 * 2]
-        a = jax.lax.reduce_window(xe, jnp.bfloat16(0), jax.lax.add, w, w,
-                                  "VALID")
-        mref = jax.lax.reduce_window(xe, jnp.bfloat16(-np.inf), jax.lax.max,
-                                     w, w, "VALID")
-        ref = a / 4 + mref
-        got = pk(x0, jnp.float32(0))[0]
-        print("  max|d|", float(jnp.max(jnp.abs(
-            ref.astype(jnp.float32) - got.astype(jnp.float32)))))
-
-
-if __name__ == "__main__":
-    bench_pallas()

@@ -75,6 +75,59 @@ def test_desed_psds_and_f1_oracle():
         assert f1["class_f1"][DESED_CLASSES[i]] == pytest.approx(1.0)
 
 
+def test_desed_macro_f1_hand_golden():
+    """Hand-derived double-threshold macro-F1 (VERDICT r4 item 7).
+
+    Reference semantics: evaluate_on_desed.py double-threshold (.75/.25)
+    decoding + psds_eval compute_macro_f_score counting at DTC=GTC=0.5
+    (TP = GTs covered >= 0.5 by DTC-valid detections; FP = detections
+    whose precision < 0.5; F = 2TP / (2TP + FN + FP)).
+
+    Decode (res = 0.04 s):
+      a/Dog  [.1 .3 .8 .8 .3 .1 .1 .1 .1 .1]: low(>.25) region frames
+             [1,5) contains high(>.75) frames 2-3 -> event (0.04, 0.20)
+      a/Cat  [.3]*10: low region but NO high frame -> no events
+      b/Dog  [.9]*10: -> event (0.00, 0.40)
+      b/Cat  [.1]*10: none
+    Matching:
+      a/Dog det (0.04,0.20) vs gt (0.04,0.20): precision 1 >= .5 (DTC ok),
+        coverage 1 >= .5 -> TP
+      b/Dog det (0.00,0.40) vs gt (0.00,0.08): precision .08/.40 = 0.2
+        < .5 -> FP; the gt is uncovered -> FN
+      a/Cat gt (0.00,0.40): no detections -> FN
+    Dog: TP=1 FP=1 FN=1 -> F = 2/(2+1+1) = 0.5
+    Cat: TP=0 FP=0 FN=1 -> F = 0
+    macro = 0.25
+    """
+    res = 0.04
+    ts = np.arange(11) * res
+    classes = ["Dog", "Cat"]
+
+    def df(dog, cat):
+        return pd.DataFrame({"onset": ts[:-1], "offset": ts[1:],
+                             "Dog": dog, "Cat": cat})
+
+    scores = {
+        "a": df([0.1, 0.3, 0.8, 0.8, 0.3, 0.1, 0.1, 0.1, 0.1, 0.1],
+                [0.3] * 10),
+        "b": df([0.9] * 10, [0.1] * 10),
+    }
+    gt = {"a": [(0.04, 0.20, "Dog"), (0.0, 0.40, "Cat")],
+          "b": [(0.0, 0.08, "Dog")]}
+    durations = {"a": 0.4, "b": 0.4}
+    out = evaluate_desed_macro_f1(scores, gt, durations,
+                                  thresholds=(0.75, 0.25),
+                                  time_resolution=res, classes=classes)
+    assert out["class_f1"]["Dog"] == pytest.approx(0.5, abs=1e-12)
+    assert out["class_f1"]["Cat"] == pytest.approx(0.0, abs=1e-12)
+    assert out["macro_f1"] == pytest.approx(0.25, abs=1e-12)
+    # the decoded prediction table itself matches the hand decode
+    pred = out["predictions"].sort_values("filename").reset_index(drop=True)
+    assert len(pred) == 2
+    np.testing.assert_allclose(pred.onset.values, [0.04, 0.0])
+    np.testing.assert_allclose(pred.offset.values, [0.20, 0.40])
+
+
 def test_desed_random_floor():
     scores, gt, durations = _synthetic_scores(accurate=False)
     oracle_scores, _, _ = _synthetic_scores(accurate=True)

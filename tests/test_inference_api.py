@@ -238,3 +238,13 @@ def test_batch_splitting(experiment, rng):
                                                batch_buckets=())
     ref = exact.predict(audio, lens, text)
     np.testing.assert_allclose(probs, ref, rtol=1e-5, atol=1e-6)
+
+    # with a mesh batch multiple that does not divide the largest
+    # (user-overridable) bucket, FULL chunks must round up too — not
+    # just the remainder chunk (ADVICE round 4)
+    meshy = GroundingPredictor.from_experiment(str(experiment),
+                                               batch_buckets=(3, 6))
+    meshy._batch_multiple = 4
+    assert meshy._chunk_plan(14) == [(0, 6, 8), (6, 6, 8), (12, 2, 4)]
+    for _, _, target in meshy._chunk_plan(14):
+        assert target % 4 == 0

@@ -283,3 +283,155 @@ def test_data_parallel_serving_predictor_matches_single():
 
     segs = sharded.ground(audio, lens, text, threshold=0.0)
     assert len(segs) == 3
+
+
+def _mesh_train_cfg(root, wav_csv, label_json, vocab_path, vocab_len,
+                    data_axis, model_axis, epochs):
+    """Tiny BiEncoder recipe with a config-reachable parallel layout:
+    fc1 kernel and the embedding table tensor-shard over ``model`` so
+    the orbax checkpoint holds genuinely SHARDED arrays."""
+    loader = {
+        "dataset": {"type": "AudioPhraseDataset",
+                    "args": {"waveform": str(wav_csv),
+                             "label": str(label_json),
+                             "time_resolution": 0.04}},
+        "collate_fn": {"type": "TextCollate",
+                       "args": {"text_key": "phrase",
+                                "pad_keys": ["waveform", "label"],
+                                "pad_buckets": {"waveform": 16000,
+                                                "label": 13},
+                                "text_bucket": 4,
+                                "tokenizer": {"type": "DictTokenizer",
+                                              "args": {"vocabulary":
+                                                       str(vocab_path)}}}},
+        "dataloader_args": {"batch_size": 4},
+    }
+    return {
+        "experiment_path": str(root / "exp"),
+        "seed": 1,
+        "parallel": {
+            "mesh": {"data": data_axis, "model": model_axis},
+            "rules": [
+                {"match": ["fc1", "kernel"], "spec": [None, "model"]},
+                {"match": ["text_encoder", "embed", "embedding"],
+                 "spec": ["model", None]},
+            ],
+        },
+        "data": {"train": loader, "val": loader},
+        "model": {"type": "BiEncoder",
+                  "args": {"shared_dim": 64, "add_proj": True},
+                  "audio_encoder": {"type": "Cnn8Rnn",
+                                    "args": {"sample_rate": 32000}},
+                  "text_encoder": {"type": "EmbeddingAgg",
+                                   "args": {"vocab_size":
+                                            vocab_len + vocab_len % 2,
+                                            "embed_dim": 64}},
+                  "match_fn": {"type": "DotProduct", "args": {}}},
+        "loss": {"type": "FrameBceLoss", "args": {}},
+        "optimizer": {"type": "Adam", "args": {"lr": 1e-3}},
+        "trainer": {"epochs": epochs, "early_stop": 10, "save_interval": 1,
+                    "max_grad_norm": 1.0, "include_optim_in_ckpt": True,
+                    "metric_monitor": {"mode": "min", "name": "loss"}},
+    }
+
+
+def test_resume_across_mesh_shape_change(tmp_path):
+    """Pod elasticity (VERDICT r4 item 5a): an orbax checkpoint written
+    under a dp2 x tp2 mesh — with fc1/embedding genuinely tensor-SHARDED
+    — resumes under a dp4 x tp2 mesh.  Orbax stores global arrays;
+    the resume template re-shards them onto the new mesh, optimizer
+    moments included, and the epoch counter continues."""
+    import re
+
+    from tests.synthetic import make_grounding_data, make_vocab
+    from texttoaudiogrounding_tpu.training.runner_strong import StrongRunner
+
+    wav_csv, label_json, _ = make_grounding_data(
+        tmp_path / "d", num_audio=4, duration=0.5, seed=7)
+    vocab_path = tmp_path / "vocab.pkl"
+    vocab = make_vocab(label_json, vocab_path)
+
+    cfg = _mesh_train_cfg(tmp_path, wav_csv, label_json, vocab_path,
+                          len(vocab), data_axis=2, model_axis=2, epochs=1)
+    runner = StrongRunner()
+    exp_dir = runner.train(dict(cfg))
+    assert dict(runner.mesh.shape) == {"data": 2, "model": 2}
+    # the checkpoint on disk really is sharded: the live state's fc1
+    # kernel spec is P(None, "model")
+    flat = jax.tree_util.tree_flatten_with_path(runner._state_sh.params)[0]
+    fc1 = [sh for path, sh in flat
+           if "fc1" in str(path) and "kernel" in str(path)]
+    assert fc1 and all(sh.spec == P(None, "model") for sh in fc1)
+
+    cfg2 = _mesh_train_cfg(tmp_path, wav_csv, label_json, vocab_path,
+                           len(vocab), data_axis=4, model_axis=2, epochs=3)
+    cfg2["resume"] = str(exp_dir / "last")
+    runner2 = StrongRunner()
+    runner2.train(dict(cfg2))
+    assert dict(runner2.mesh.shape) == {"data": 4, "model": 2}
+    opt_flat = jax.tree_util.tree_flatten_with_path(
+        runner2._state_sh.opt_state)[0]
+    opt_fc1 = [sh for path, sh in opt_flat
+               if "fc1" in str(path) and "kernel" in str(path)]
+    assert opt_fc1 and all(sh.spec == P(None, "model") for sh in opt_fc1)
+
+    log = (exp_dir / "train.log").read_text()
+    assert "resumed from" in log
+    post = log.split("resumed from", 1)[1]
+    # continues at epoch 2 on the NEW mesh; epoch 1 not re-run
+    assert re.search(r"epoch: 2 ", post) and re.search(r"epoch: 3 ", post)
+    assert re.search(r"epoch: 1 ", post) is None
+    losses = [float(m) for m in re.findall(r"train_loss: ([\d.e+-]+)",
+                                           post)]
+    assert losses and np.isfinite(losses).all()
+
+
+def test_sharded_eval_pipeline_matches_single(tmp_path):
+    """Full evaluation pipeline (VERDICT r4 item 5b): decode + PSDS +
+    th-AUC driven from MESH-SHARDED inference output reproduce the
+    single-device metrics on the same checkpoint."""
+    import shutil
+
+    import yaml
+
+    from tests.synthetic import make_grounding_data, make_vocab
+    from texttoaudiogrounding_tpu.training.runner_strong import StrongRunner
+
+    wav_csv, label_json, dur_csv = make_grounding_data(
+        tmp_path / "d", num_audio=6, duration=0.5, seed=9,
+        event_len=(0.1, 0.2))
+    vocab_path = tmp_path / "vocab.pkl"
+    vocab = make_vocab(label_json, vocab_path)
+
+    cfg = _mesh_train_cfg(tmp_path, wav_csv, label_json, vocab_path,
+                          len(vocab), data_axis=4, model_axis=2, epochs=1)
+    exp_dir = StrongRunner().train(dict(cfg))
+
+    test_cfg = {
+        "dataset": {"type": "AudioPhraseEvalDataset",
+                    "args": {"waveform": str(wav_csv),
+                             "label": str(label_json)}},
+        "collate_fn": dict(cfg["data"]["train"]["collate_fn"]),
+        "dataloader_args": {"batch_size": 4},
+        "duration": str(dur_csv),
+    }
+    eval_config = {"resume": "last", "n_thresholds": 10, "window_size": 1,
+                   "max_efprs": [None], "output": "result.txt",
+                   "data": {"test": test_cfg}}
+
+    sharded = StrongRunner().evaluate(exp_dir, dict(eval_config))
+
+    # same checkpoint, parallel block stripped -> single-device pipeline
+    single_dir = tmp_path / "exp_single"
+    shutil.copytree(exp_dir, single_dir)
+    cfg_path = single_dir / "config.yaml"
+    saved = yaml.safe_load(cfg_path.read_text())
+    saved.pop("parallel", None)
+    cfg_path.write_text(yaml.safe_dump(saved))
+    single = StrongRunner().evaluate(single_dir, dict(eval_config))
+
+    assert set(sharded) == set(single)
+    for key in sharded:
+        assert np.isfinite(sharded[key])
+        np.testing.assert_allclose(sharded[key], single[key], rtol=1e-4,
+                                   atol=1e-6, err_msg=key)

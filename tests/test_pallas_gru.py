@@ -124,3 +124,57 @@ def test_bigru_pallas_custom_vjp_grads():
     for name, rg, gg in zip(("proj", "wh", "bn"), ref_grads, v2_grads):
         np.testing.assert_allclose(np.asarray(gg), np.asarray(rg),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_bigru_pallas_bf16_trainable_grads():
+    """bf16-recurrence trainable variant: value matches the bf16 scan
+    (the serving recurrence), gradients match jax.grad of the f32 scan
+    at bf16 tolerance — the carry/accumulators are f32, so only operand
+    rounding separates them."""
+    from texttoaudiogrounding_tpu.ops.pallas.gru import (
+        bigru_pallas_trainable_bf16,
+    )
+
+    rng = np.random.default_rng(11)
+    b, t, h = 3, 7, 8
+    proj = jnp.asarray(rng.normal(size=(t, 2 * b, 3 * h)) * 0.5,
+                       jnp.float32)
+    wh = jnp.asarray(rng.normal(size=(2, h, 3 * h)) * 0.4, jnp.float32)
+    bn = jnp.asarray(rng.normal(size=(2, h)) * 0.2, jnp.float32)
+    g_out = jnp.asarray(rng.normal(size=(t, 2 * b, h)), jnp.float32)
+
+    def scan_ref(proj, wh, bn, dtype):
+        def step(hid, pp):                       # hid [2B, H] dtype
+            whd = wh.astype(dtype)
+            rzn = jnp.concatenate(
+                [(hid[:b] @ whd[0]).astype(jnp.float32),
+                 (hid[b:] @ whd[1]).astype(jnp.float32)], 0)
+            r = jax.nn.sigmoid(pp[:, :h] + rzn[:, :h])
+            z = jax.nn.sigmoid(pp[:, h:2 * h] + rzn[:, h:2 * h])
+            bns = jnp.concatenate([jnp.tile(bn[0], (b, 1)),
+                                   jnp.tile(bn[1], (b, 1))], 0)
+            n = jnp.tanh(pp[:, 2 * h:] + r * (rzn[:, 2 * h:] + bns))
+            hid = (1 - z) * n + z * hid.astype(jnp.float32)
+            return hid.astype(dtype), hid
+
+        _, ys = jax.lax.scan(step, jnp.zeros((2 * b, h), dtype), proj)
+        return ys
+
+    def loss(fn):
+        return lambda p, w, c: jnp.sum(fn(p, w, c) * g_out)
+
+    # forward: EXACTLY the bf16 scan (the serving recurrence numerics)
+    ref16 = scan_ref(proj, wh, bn, jnp.bfloat16)
+    got = bigru_pallas_trainable_bf16(proj, wh, bn, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref16),
+                               rtol=1e-6, atol=1e-6)
+
+    # gradients: close to the f32 scan's at bf16-operand tolerance
+    ref_grads = jax.grad(
+        loss(lambda p, w, c: scan_ref(p, w, c, jnp.float32)),
+        argnums=(0, 1, 2))(proj, wh, bn)
+    got_grads = jax.grad(loss(lambda p, w, c: bigru_pallas_trainable_bf16(
+        p, w, c, interpret=True)), argnums=(0, 1, 2))(proj, wh, bn)
+    for name, rg, gg in zip(("proj", "wh", "bn"), ref_grads, got_grads):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(rg),
+                                   rtol=0.08, atol=0.05, err_msg=name)

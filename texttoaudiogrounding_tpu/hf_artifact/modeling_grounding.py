@@ -43,7 +43,10 @@ class GroundingConfig(PretrainedConfig):
     def __init__(self,
                  sample_rate: int = 32000,
                  shared_dim: int = 512,
-                 add_proj: bool = True,
+                 add_proj: bool = False,  # matches the exporter/BiEncoder
+                                          # default — a config.json missing
+                                          # the field must not instantiate
+                                          # proj layers the ckpt lacks
                  upsample: bool = False,
                  audio_encoder: Optional[dict] = None,
                  text_encoder: Optional[dict] = None,

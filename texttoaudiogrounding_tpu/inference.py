@@ -200,10 +200,16 @@ class GroundingPredictor:
                 target = round_up(b, self._batch_multiple)
             return [(0, b, target)]
         largest = self.batch_buckets[-1]
+        full_target = largest
+        if self._batch_multiple > 1:
+            # A mesh data axis must divide every padded sub-batch — the
+            # largest bucket included (it is user-overridable and need
+            # not align with the mesh).
+            full_target = round_up(largest, self._batch_multiple)
         plan = []
         start = 0
         while b - start > largest:
-            plan.append((start, largest, largest))
+            plan.append((start, largest, full_target))
             start += largest
         rest = b - start
         bigger = [x for x in self.batch_buckets if x >= rest]

@@ -421,6 +421,13 @@ class BiGRU(nn.Module):
                         from texttoaudiogrounding_tpu.ops.pallas.gru \
                             import bigru_pallas_trainable_v3
                         ys = bigru_pallas_trainable_v3(tproj, wh, bn)
+                    elif variant == "bf16":
+                        # bf16 recurrence + bf16 backward dots, f32
+                        # carry/accumulators (the serving forward's
+                        # numerics; cuDNN-autocast analog)
+                        from texttoaudiogrounding_tpu.ops.pallas.gru \
+                            import bigru_pallas_trainable_bf16
+                        ys = bigru_pallas_trainable_bf16(tproj, wh, bn)
                     else:
                         ys = bigru_pallas_trainable(tproj, wh, bn)
                 else:

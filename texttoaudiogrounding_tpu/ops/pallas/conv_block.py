@@ -193,7 +193,14 @@ def _tri_build1(dst_ref, v, rows: int, m: int, cin: int):
     but sourced from an in-register VALUE ``v`` ([rows+2, cin], 1-row
     lead/tail already in the padded clip copy) — one load + three
     stores instead of the ref->ref build's four loads + four stores
-    (the staging tax that made mel3 lose to direct9, STATUS.md)."""
+    (the staging tax that made mel3 lose to direct9, STATUS.md).
+
+    VERDICT (round 4, on-chip, scripts/probe_block34_tri.py): **CLOSED
+    — tie or loss vs direct9 at both blocks** (6.70 vs 6.68-7.18 /
+    8.44 vs 8.30-8.75 ms int8): acc-chained direct9 dots realize higher
+    rates than the isolated-dot NK matrix predicts, so the K=3C rate
+    gain never materializes.  tri stays UNROUTED (parity-tested,
+    ``tri_1``/``tri_2`` flags)."""
     mel = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % m
     zero = jnp.zeros((), v.dtype)
     dst_ref[:, 0:cin] = jnp.where(mel != 0, v[0:rows], zero)

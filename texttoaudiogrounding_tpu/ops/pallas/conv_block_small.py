@@ -30,6 +30,17 @@ activation in HBM) and the kernel folds it in as one K=16 bf16 dot.
 Reference semantics: PANNs ConvBlock conv3x3(SAME)->BN->ReLU x2 ->
 'avg+max' pool(2,2) (reference models/panns.py:20-62); serving path
 only (running BN stats folded to per-channel affines via fold_bn).
+
+VERDICT (round 3, on-chip, scripts/bench_block2_pair.py +
+sweep_conv_block.py): **CLOSED — superseded, UNROUTED.**  Block2 fused
+int8 measures 8.54-8.82 ms vs XLA bf16's 8.42 (a tie; banded 9.28
+worse), block1 19.5-21.9 vs XLA's 10.63 (2x worse: the [*, 16]-lane
+im2col layout + a K=16 dot are both MXU-hostile).  The ~4 ms/block of
+serialized VPU staging is structural to every im2col-style design
+(scripts/probe_dma_window.py closed async-DMA hiding too).  Production
+routes ``conv_block_pair.py`` (block2, 7.59 ms — static sublane-offset
+slices need NO staged windows) and ``conv_block1_pair.py`` (block1).
+Kept in-tree as the measured record of why staged-window designs lose.
 """
 
 from __future__ import annotations

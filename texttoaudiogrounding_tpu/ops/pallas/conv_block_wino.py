@@ -30,6 +30,16 @@ TPU-first structure (everything rides the round-3 Mosaic findings):
 The XLA ConvBlock and the direct9 kernel (conv_block.py) remain the
 references; interpret-mode CI pins both the f32 math (vs lax.conv) and
 the int8 fake-quant path.
+
+VERDICT (round 3, on-chip, scripts/bench_wino.py): **CLOSED — measured
+dead end, UNROUTED in production.**  At the pool-(2,2) analog shapes
+wino int8 measures 15.0 ms vs direct9's 5.2 (block3) and 9.6 vs 4.3
+(block4): the butterfly/plane transforms are serialized VPU work that
+Mosaic does NOT overlap with in-flight MXU dots (pinned twice; see
+CLAUDE.md Mosaic pitfalls), so the 2.25x MAC cut is swamped.  The
+flagship's blocks 3-4 also pool (1,2), which this kernel does not
+support — ``TTG_WINO=1`` never routes there.  Kept in-tree as a
+parity-tested record of the measured closure.
 """
 
 from __future__ import annotations

@@ -32,6 +32,17 @@ MOSAIC PITFALL (probe_dual_pool_micro.py): a SECOND lane-widening
 reshape of the same loaded value fails to lower — the relu mask is
 derived from the already-reshaped relu'd value (h > 0 iff x > 0),
 never from a separate reshape of x.
+
+VERDICT (round 4, on-chip, scripts/probe_pool_vjp.py +
+probe_pool_chain.py): **CLOSED for the training default — OPT-IN
+only** (``TTG_POOL_VJP="128,256,512"``).  Standalone the kernel beats
+XLA at blocks 2-3 (8.94 vs 11.25 / 5.54 vs 7.02 ms fwd+bwd), but with
+the real conv+BN(train) chain around it the step got SLOWER (155 vs
+137.4 ms; +8.6/+2.2/+2.3 ms per block): XLA fuses BN+relu+pool forward
+AND backward into the conv passes, so the in-chain pool marginal it
+replaces is far below the standalone number.  PLAYBOOK RULE from this
+closure: judge training kernels by CHAIN probes, never standalone op
+probes.
 """
 
 from __future__ import annotations

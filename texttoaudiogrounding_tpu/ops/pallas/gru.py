@@ -112,7 +112,17 @@ def bigru_pallas(proj: jax.Array, wh: jax.Array, bn: jax.Array, *,
 
 def _bwd_kernel(proj_ref, ysp_ref, g_ref, wh_ref, wht_ref, bn_ref,
                 dproj_ref, dwh_ref, dbn_ref, dh0_ref, dh1_ref,
-                awh_ref, abn_ref, *, b: int, h: int, t: int):
+                awh_ref, abn_ref, *, b: int, h: int, t: int,
+                dot_dtype=jnp.float32):
+    """``dot_dtype=bfloat16`` runs every MXU dot (gate recompute, the
+    dh chain, the dWh accumulation) on bf16 operands with f32
+    accumulation — the carry/accumulator state (dh, awh, abn) and the
+    gate math stay f32.  Casting ``ysp`` rows to bf16 reproduces the
+    bf16 forward's recurrent dot operand EXACTLY (the forward stores
+    its carry as ``hid.astype(bfloat16)`` of the same f32 value it
+    outputs), so the recomputed gates match the forward's bit-for-bit.
+    Reference bar: cuDNN RNN under autocast
+    (/root/reference/models/audio_encoder.py:141,217)."""
     import jax.experimental.pallas as pl
 
     jj = pl.program_id(0)
@@ -127,9 +137,10 @@ def _bwd_kernel(proj_ref, ysp_ref, g_ref, wh_ref, wht_ref, bn_ref,
     def step(dh_ref, g, rows):
         pp = proj_ref[0, rows:rows + b]
         h_prev = ysp_ref[0, rows:rows + b]
+        h_op = h_prev.astype(dot_dtype)
         gt = g_ref[0, rows:rows + b]
         rzn = jax.lax.dot_general(
-            h_prev, wh_ref[g * h:(g + 1) * h],
+            h_op, wh_ref[g * h:(g + 1) * h],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         bn = bn_ref[g:g + 1]
@@ -154,15 +165,17 @@ def _bwd_kernel(proj_ref, ysp_ref, g_ref, wh_ref, wht_ref, bn_ref,
         dproj_ref[0, rows:rows + b, 2 * h:3 * h] = da_n
         dh_new = dhp * z
         for third, dcol in ((0, da_r), (1, da_z), (2, drzn_n)):
+            dcol_op = dcol.astype(dot_dtype)
             dh_new = dh_new + jax.lax.dot_general(
-                dcol, wht_ref[(g * 3 + third) * h:(g * 3 + third + 1) * h],
+                dcol_op,
+                wht_ref[(g * 3 + third) * h:(g * 3 + third + 1) * h],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             awh_ref[g * h:(g + 1) * h,
                     third * h:(third + 1) * h] = (
                 awh_ref[g * h:(g + 1) * h, third * h:(third + 1) * h]
                 + jax.lax.dot_general(
-                    h_prev, dcol, (((0,), (0,)), ((), ())),
+                    h_op, dcol_op, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
         abn_ref[g:g + 1] = abn_ref[g:g + 1] + jnp.sum(
             drzn_n, axis=0, keepdims=True)
@@ -177,13 +190,13 @@ def _bwd_kernel(proj_ref, ysp_ref, g_ref, wh_ref, wht_ref, bn_ref,
         dbn_ref[...] = abn_ref[...]
 
 
-def _bigru_fwd(proj, wh, bn, interpret):
-    ys = bigru_pallas(proj, wh, bn, dtype=jnp.float32,
+def _bigru_fwd(proj, wh, bn, interpret, dtype=jnp.float32):
+    ys = bigru_pallas(proj, wh, bn, dtype=dtype,
                       interpret=interpret)
     return ys, (proj, ys, wh, bn)
 
 
-def _bigru_bwd(interpret, res, g):
+def _bigru_bwd(interpret, res, g, dot_dtype=jnp.float32):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -198,9 +211,12 @@ def _bigru_bwd(interpret, res, g):
     wht = jnp.concatenate(
         [whf[g * h:(g + 1) * h, th * h:(th + 1) * h].T
          for g in range(2) for th in range(3)], axis=0)   # [6H, H]
+    whk = whf.astype(dot_dtype)
+    whtk = wht.astype(dot_dtype)
     rev = t - 1
 
-    kern = functools.partial(_bwd_kernel, b=b, h=h, t=t)
+    kern = functools.partial(_bwd_kernel, b=b, h=h, t=t,
+                             dot_dtype=dot_dtype)
     dproj, dwh, dbn = pl.pallas_call(
         kern,
         grid=(t,),
@@ -229,7 +245,7 @@ def _bigru_bwd(interpret, res, g):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(proj.astype(jnp.float32), ysp, g.astype(jnp.float32), whf, wht,
+    )(proj.astype(jnp.float32), ysp, g.astype(jnp.float32), whk, whtk,
       jnp.asarray(bn, jnp.float32))
     return dproj, dwh.reshape(wh.shape), dbn
 
@@ -245,6 +261,42 @@ def _bigru_diff_fwd(proj, wh, bn, interpret):
 
 
 _bigru_diff.defvjp(_bigru_diff_fwd, _bigru_bwd)
+
+
+# bf16-recurrence trainable variant (VERDICT r4 item 3): the forward
+# carries bf16 (exactly the serving recurrence, which has measured
+# metric parity), the backward runs every dot on bf16 operands with f32
+# carry/accumulators.  Convergence A/B: scripts/ab_gru_convergence.py
+# --bf16; step-time: scripts/probe_gru_bf16.py.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bigru_diff_b16(proj, wh, bn, interpret):
+    return bigru_pallas(proj, wh, bn, dtype=jnp.bfloat16,
+                        interpret=interpret)
+
+
+_bigru_diff_b16.defvjp(
+    lambda proj, wh, bn, interpret: _bigru_fwd(proj, wh, bn, interpret,
+                                               dtype=jnp.bfloat16),
+    functools.partial(_bigru_bwd, dot_dtype=jnp.bfloat16))
+
+
+def bigru_pallas_trainable_bf16(proj: jax.Array, wh: jax.Array,
+                                bn: jax.Array, *,
+                                interpret: bool | None = None) -> jax.Array:
+    """:func:`bigru_pallas_trainable` with a bf16 recurrence: bf16 MXU
+    dots everywhere (forward carry, gate recompute, dh chain, dWh), f32
+    gate math and f32 dh/dWh accumulators."""
+    from texttoaudiogrounding_tpu.ops.pallas.logmel import default_interpret
+    from texttoaudiogrounding_tpu.parallel.kernel_shard import (
+        active_kernel_mesh, maybe_shard)
+    if interpret is None:
+        interpret = default_interpret()
+    if active_kernel_mesh() is not None:
+        return _shard_bigru(
+            functools.partial(bigru_pallas_trainable_bf16,
+                              interpret=interpret),
+            proj, wh, bn, maybe_shard)
+    return _bigru_diff_b16(proj, wh, bn, interpret)
 
 
 def _bwd_kernel_v2(proj_ref, ysp_ref, g_ref, wh_ref, wht_ref, bnb_ref,
@@ -490,7 +542,14 @@ def bigru_pallas_trainable_v2(proj: jax.Array, wh: jax.Array,
                               interpret: bool | None = None) -> jax.Array:
     """:func:`bigru_pallas_trainable` with the round-4 backward redesign
     (same forward kernel; dWh/dbn hoisted out of the sequential walk).
-    Mathematically identical gradients up to f32 summation order."""
+    Mathematically identical gradients up to f32 summation order.
+
+    VERDICT (round 4, on-chip, scripts/probe_gru_bwd_r4.py): **CLOSED —
+    slower than the shipped v1** (6.00 vs 4.41 ms fwd+bwd at
+    B=128/T=250/H=256): the per-step drznn output write + the post-walk
+    dWh einsum cost more than the in-kernel dW dots they remove (those
+    ride free under the DMA pipeline).  UNROUTED (``TTG_GRU_BWD=v2``
+    opts in)."""
     from texttoaudiogrounding_tpu.ops.pallas.logmel import default_interpret
     from texttoaudiogrounding_tpu.parallel.kernel_shard import (
         active_kernel_mesh, maybe_shard)
@@ -508,7 +567,11 @@ def bigru_pallas_trainable_v3(proj: jax.Array, wh: jax.Array,
                               bn: jax.Array, *,
                               interpret: bool | None = None) -> jax.Array:
     """v3 backward: register-resident per-direction dh dots (as v1)
-    with the dWh/dbn einsum hoist (as v2)."""
+    with the dWh/dbn einsum hoist (as v2).
+
+    VERDICT (round 4, on-chip, scripts/probe_gru_bwd_r4.py): **CLOSED —
+    slower than the shipped v1** (5.04 vs 4.41 ms): same einsum-hoist
+    traffic tax as v2.  UNROUTED (``TTG_GRU_BWD=v3`` opts in)."""
     from texttoaudiogrounding_tpu.ops.pallas.logmel import default_interpret
     from texttoaudiogrounding_tpu.parallel.kernel_shard import (
         active_kernel_mesh, maybe_shard)

@@ -292,7 +292,18 @@ class BaseRunner:
         impl = self.config.setdefault(
             "prng_impl",
             "rbg" if jax.default_backend() == "tpu" else "threefry2x32")
-        jax.config.update("jax_default_prng_impl", impl)
+        # NOTE: this is a process-global switch — anything built after
+        # this runner (a predictor, a second runner) inherits it, and
+        # RNG streams are NOT reproducible across impls (a run seeded
+        # under rbg will not replay under threefry).  Logged loudly so
+        # mixed-impl sessions are diagnosable; set ``prng_impl`` in the
+        # config to pin it explicitly.
+        prev = jax.config.jax_default_prng_impl
+        if prev != impl:
+            logging.getLogger(__name__).info(
+                "setting process-global jax_default_prng_impl: %s -> %s "
+                "(seed streams are impl-specific)", prev, impl)
+            jax.config.update("jax_default_prng_impl", impl)
         # config-reachable dp x tp: ``parallel: {mesh: {data: N,
         # model: M}, rules: [{match: [...], spec: [...]}]}`` — absent,
         # the default 1-D data mesh keeps every recipe single-device
@@ -502,8 +513,23 @@ class BaseRunner:
                                           log_fn=self.logger.info)
             if not batch_stats:
                 batch_stats = variables.get("batch_stats", {})
-        return TrainState(params=params, batch_stats=batch_stats,
-                          opt_state=None, step=0)
+        state = TrainState(params=params, batch_stats=batch_stats,
+                           opt_state=None, step=0)
+        # under parallel.rules the restored arrays carry the SAVED mesh's
+        # shardings (or none, cross-process); publish the eval-time
+        # shardings so make_forward/make_val_step jit against them, and
+        # re-shard onto the CURRENT mesh — which may have a different
+        # shape than the one the checkpoint was written under (pod
+        # elasticity; tests/test_multichip.py pins the train-side analog)
+        if self.config.get("parallel", {}).get("rules"):
+            self._state_sh = self.state_shardings(state)
+            state = jax.device_put(state, self._state_sh)
+        else:
+            # no rules: the eval forward jits against replicated state,
+            # so a checkpoint written under a sharded mesh must be
+            # re-gathered (its arrays arrive carrying the saved mesh)
+            state = jax.device_put(state, replicate(self.mesh))
+        return state
 
     def _resume(self, state: TrainState, ckpt_path,
                 finetune: bool = False) -> tuple[TrainState, dict]:

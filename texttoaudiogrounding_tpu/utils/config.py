@@ -81,9 +81,14 @@ def parse_config_or_kwargs(config_file: str | Path,
     """Load a config file and apply CLI/dict overrides (overrides win).
 
     Reference: utils/train_util.py:181-194 (TOML CLI merge replaced by
-    YAML-typed ``key.path=value`` strings).
+    YAML-typed ``key.path=value`` strings).  Accepts an already-loaded
+    dict too (the runner ``train`` entry does; the eval entries share
+    the courtesy).
     """
-    config = load_config(config_file)
+    if isinstance(config_file, dict):
+        config = copy.deepcopy(config_file)
+    else:
+        config = load_config(config_file)
     if overrides:
         merge_a_into_b(parse_overrides(overrides), config)
     if kwargs:
