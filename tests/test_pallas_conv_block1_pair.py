@@ -51,6 +51,32 @@ def test_block1_int8_close():
     assert rms < 0.05, rms
 
 
+@pytest.mark.parametrize("t", [32, 37, 96])
+def test_block1_single_mode_f32_exact(t):
+    # round-5 single-store variant: same math through a once-stored
+    # halo layout + three global-row-offset K=4C dots
+    x, w1, ab1, w2, ab2 = _case1(t)
+    ref = np.asarray(xla_ref(jnp.asarray(x), jnp.asarray(w1), ab1,
+                             jnp.asarray(w2), ab2))
+    got = np.asarray(fused_block1_pair(
+        jnp.asarray(x[..., 0]), w1, ab1, w2, ab2, quantize=False,
+        tc=16, compute_dtype=jnp.float32, interpret=True,
+        mode="single"), np.float32)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_block1_single_mode_int8_close():
+    x, w1, ab1, w2, ab2 = _case1(37)
+    ref = np.asarray(xla_ref(jnp.asarray(x), jnp.asarray(w1), ab1,
+                             jnp.asarray(w2), ab2))
+    got = np.asarray(fused_block1_pair(
+        jnp.asarray(x[..., 0]), w1, ab1, w2, ab2, quantize=True,
+        tc=16, interpret=True, mode="single"), np.float32)
+    rms = np.sqrt(np.mean((got - ref) ** 2)) / np.sqrt(np.mean(ref ** 2))
+    assert rms < 0.05, rms
+
+
 def test_block1_rejects_bad_geometry():
     x, w1, ab1, w2, ab2 = _case1(32)
     with pytest.raises(ValueError):

@@ -93,7 +93,8 @@ class ConvBlock(nn.Module):
                     return fused_block1_pair(
                         x[..., 0], p["conv1"]["kernel"], ab1,
                         p["conv2"]["kernel"], ab2, quantize=quantize,
-                        compute_dtype=self.dtype)
+                        compute_dtype=self.dtype,
+                        mode=os.environ.get("TTG_B1_MODE", "triple"))
                 ok = False
             elif (x.shape[3] == 64 and self.out_channels % 128 == 0
                     and tuple(pool_size) == (2, 2) and x.shape[2] % 2 == 0):
@@ -402,7 +403,15 @@ class BiGRU(nn.Module):
                 # (training) uses the custom-VJP variant whose backward
                 # is a reversed-grid Pallas kernel; bf16 serving uses
                 # the forward-only kernel.
-                tproj = jnp.einsum("gbtd,gdh->tgbh", xg, wi,
+                variant = os.environ.get("TTG_GRU_BWD", "v1")
+                pd = dt
+                if dt == jnp.float32 and variant == "bf16":
+                    # the bf16-recurrence variant casts EVERY MXU dot's
+                    # operands to bf16 (cuDNN-autocast analog) — the
+                    # input projection included; accumulation stays f32
+                    pd = jnp.bfloat16
+                tproj = jnp.einsum("gbtd,gdh->tgbh", xg.astype(pd),
+                                   wi.astype(pd),
                                    preferred_element_type=jnp.float32) \
                     + bi[None, :, None]
                 bsz, tlen = x.shape[0], x.shape[1]
@@ -414,7 +423,6 @@ class BiGRU(nn.Module):
                     # 4.41 ms — the per-step drznn output write + the
                     # post-walk dWh einsum cost more than the in-kernel
                     # dW dots they remove; scripts/probe_gru_bwd_r4.py)
-                    variant = os.environ.get("TTG_GRU_BWD", "v1")
                     if variant == "v2":
                         ys = bigru_pallas_trainable_v2(tproj, wh, bn)
                     elif variant == "v3":

@@ -222,11 +222,118 @@ def _kernel(xw_ref, w1_ref, w2_ref, ab1_ref, ab2_ref, sx_ref,
     out_ref[0, :, :, c:2 * c] = v4[1]
 
 
+def _kernel_single(xw_ref, w1_ref, w2_ref, ab1_ref, ab2_ref, sx_ref,
+                   out_ref, xc_ref, y5_ref, *, tc: int, c: int,
+                   t_real: int, tp: int, quantize: bool):
+    """Single-store variant (round 5): y1 is stored ONCE per mel-pair
+    block as a flat ``[mp*(tc+4), 4C]`` halo layout (local row l of
+    block r holds y1[t = j*tc - 2 + l, win(r)]; halo 2 rows on each
+    side keeps the pool's row-merge reshape pair-aligned), and conv2
+    runs as THREE acc-chained global-row-offset dots with K=4C=256
+    (the free static-sublane-offset trick) instead of one K=12C dot
+    over a triple-stored operand.  Trade measured on-chip: ~3x less
+    VPU store traffic vs a lower int8 dot rate at K=256 (157 vs 240
+    TOP/s, scripts/probe_nk_matrix.py).
+    """
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    mp = _M // 2
+    rows_b = tc + 4                   # rows per mel-pair block (halo 2+2)
+    rt = mp * rows_b                  # flat conv2 rows
+    off = 8                           # front pad rows of y5 (dt-1 slice)
+    acc_dtype = jnp.int32 if quantize else jnp.float32
+    perm = _perm(mp)
+
+    # stage this chunk's packed-input window ([tc+4, 192]; row v of xw
+    # is [X[v-3] | X[v-2] | X[v-1]] so y1 time = j*tc - 2 + local row)
+    xc_ref[...] = xw_ref[0, pl.ds(j * tc, rows_b)]
+
+    # ---- conv1: ONE banded K=3M dot -> [tc+4, (M+2)*C] ----
+    acc1 = jax.lax.dot_general(
+        xc_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype)
+    if quantize:
+        a1 = ab1_ref[0:1] * sx_ref[pl.program_id(0), 0]
+    else:
+        a1 = ab1_ref[0:1]
+    y1f = acc1.astype(jnp.float32) * a1 + ab1_ref[1:2]
+    if quantize:
+        sy = jnp.maximum(jnp.max(y1f), 1e-6) / 127.0
+        y1v = jnp.clip(jnp.round(y1f * (1.0 / sy)), 0.0, 127.0).astype(
+            jnp.int8)
+    else:
+        sy = 1.0
+        y1v = jnp.maximum(y1f, 0.0).astype(y5_ref.dtype)
+
+    # ---- single store per mel-pair block: the pair's contiguous 4C
+    # lane window, all tc+4 halo rows ----
+    for b, r in enumerate(perm):
+        y5_ref[off + b * rows_b:off + (b + 1) * rows_b, :] = (
+            y1v[:, 2 * c * r:2 * c * r + 4 * c])
+
+    @pl.when(j == 0)
+    def _():
+        # the dt-slice pad rows must be finite (f32 mode reads them
+        # into discarded outputs), and y1[t=-1] is conv zero-pad
+        y5_ref[0:off, :] = jnp.zeros((off, 4 * c), y5_ref.dtype)
+        y5_ref[off + rt:off + rt + off, :] = jnp.zeros(
+            (off, 4 * c), y5_ref.dtype)
+        for b in range(mp):
+            y5_ref[off + b * rows_b + 1:off + b * rows_b + 2, :] = (
+                jnp.zeros((1, 4 * c), y5_ref.dtype))
+
+    # rows at t >= t_real read as conv zero-pad (the affine's BN bias
+    # makes padded-input conv rows nonzero otherwise); only the last
+    # chunk's rows feed KEPT outputs (earlier chunks' trailing halo
+    # rows only reach outputs the final [:t//2] trim discards)
+    zs = t_real - (tp - tc) + 2       # first local row past the clip
+    if zs < rows_b:
+        @pl.when(j == tp // tc - 1)
+        def _(zs=max(zs, 0)):
+            for b in range(mp):
+                y5_ref[off + b * rows_b + zs:off + (b + 1) * rows_b,
+                       :] = jnp.zeros((rows_b - zs, 4 * c), y5_ref.dtype)
+
+    # ---- conv2: three acc-chained K=4C dots at global row offsets
+    # (output local row m of block r = out time j*tc + m - 2; tap dt
+    # reads local row m + dt - 1 — block-edge rows yield garbage
+    # outputs that the pool slice discards) ----
+    acc2 = jax.lax.dot_general(
+        y5_ref[off - 1:off - 1 + rt], w2_ref[0:4 * c],
+        (((1,), (0,)), ((), ())), preferred_element_type=acc_dtype)
+    acc2 = acc2 + jax.lax.dot_general(
+        y5_ref[off:off + rt], w2_ref[4 * c:8 * c],
+        (((1,), (0,)), ((), ())), preferred_element_type=acc_dtype)
+    acc2 = acc2 + jax.lax.dot_general(
+        y5_ref[off + 1:off + 1 + rt], w2_ref[8 * c:12 * c],
+        (((1,), (0,)), ((), ())), preferred_element_type=acc_dtype)
+
+    a2 = ab2_ref[0:1] * sy if quantize else ab2_ref[0:1]
+    y2 = jnp.maximum(acc2.astype(jnp.float32) * a2 + ab2_ref[1:2], 0.0)
+    if quantize:
+        y2 = y2.astype(jnp.bfloat16)
+
+    # pool: time pairs via the row-merge reshape (rows_b is even, so
+    # pairs never cross blocks; the first and last pair of each block
+    # are halo garbage), mel pairs via the (p, c) lane halves
+    v = y2.reshape(rt // 2, 4 * c)
+    s = v[:, :2 * c] + v[:, 2 * c:]
+    mx = jnp.maximum(v[:, :2 * c], v[:, 2 * c:])
+    pooled = (s[:, :c] + s[:, c:]) * 0.25 + jnp.maximum(
+        mx[:, :c], mx[:, c:])                  # [(r%2, q, pair), c]
+
+    v4 = pooled.reshape(2, mp // 2, rows_b // 2, c)[
+        :, :, 1:tc // 2 + 1, :].astype(out_ref.dtype)
+    out_ref[0, :, :, 0:c] = v4[0]
+    out_ref[0, :, :, c:2 * c] = v4[1]
+
+
 def fused_block1_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
                       w2: jax.Array, ab2: tuple, *,
                       quantize: bool = False, tc: int = 48,
                       compute_dtype: jnp.dtype = jnp.bfloat16,
-                      interpret: bool | None = None,
+                      interpret: bool | None = None, mode: str = "triple",
                       _stages: int = 4, _raw_out: bool = False) -> jax.Array:
     """Fused (conv3x3->BN->ReLU)x2 -> dual 2x2 pool for Cin=1, M=64.
 
@@ -248,9 +355,12 @@ def fused_block1_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
         return maybe_shard(
             lambda x_, w1_, a1, b1, w2_, a2, b2: fused_block1_pair(
                 x_, w1_, (a1, b1), w2_, (a2, b2), quantize=quantize,
-                tc=tc, compute_dtype=compute_dtype, interpret=interpret),
+                tc=tc, compute_dtype=compute_dtype, interpret=interpret,
+                mode=mode),
             (x, w1, *ab1, w2, *ab2),
             (0, None, None, None, None, None, None))
+    if mode not in ("triple", "single"):
+        raise ValueError(f"unknown block1 pair mode: {mode!r}")
 
     b, t, m = x.shape
     if m != _M:
@@ -285,6 +395,8 @@ def fused_block1_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
 
     # three-tap lane packing, built XLA-side (int8-early so the pad +
     # concat copies move 1-byte lanes): xw[v] = [X[v-2] | X[v-1] | X[v]]
+    # (triple mode; single mode shifts one row earlier so chunk j's
+    # conv1 rows cover y1 times j*tc-2 .. j*tc+tc-1)
     if quantize:
         sx = jnp.maximum(jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True),
                          1e-6) / 127.0
@@ -293,19 +405,28 @@ def fused_block1_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
     else:
         xq = x.astype(compute_dtype)
         sxv = jnp.ones((b, 1), jnp.float32)
-    xz = jnp.pad(xq, ((0, 0), (2, tp - t + 4), (0, 0)))
+    front = 2 if mode == "triple" else 3
+    xwr = tp + 2 if mode == "triple" else tp + 4    # xw rows
+    xz = jnp.pad(xq, ((0, 0), (front, xwr - t - front + 2), (0, 0)))
     xw = jnp.concatenate(
-        [xz[:, :tp + 2], xz[:, 1:tp + 3], xz[:, 2:tp + 4]], axis=-1)
+        [xz[:, :xwr], xz[:, 1:xwr + 1], xz[:, 2:xwr + 2]], axis=-1)
 
     in_dtype = jnp.int8 if quantize else compute_dtype
-    rows1 = tc + 2
-    kern = functools.partial(_kernel, tc=tc, c=c, t_real=t, tp=tp,
-                             quantize=quantize, stages=_stages)
+    if mode == "single":
+        rows1 = tc + 4
+        kern = functools.partial(_kernel_single, tc=tc, c=c, t_real=t,
+                                 tp=tp, quantize=quantize)
+        scratch2 = pltpu.VMEM((mp * rows1 + 16, 4 * c), in_dtype)   # y5
+    else:
+        rows1 = tc + 2
+        kern = functools.partial(_kernel, tc=tc, c=c, t_real=t, tp=tp,
+                                 quantize=quantize, stages=_stages)
+        scratch2 = pltpu.VMEM((mp * tc, 12 * c), in_dtype)          # y9
     out = pl.pallas_call(
         kern,
         grid=(b, tp // tc),
         in_specs=[
-            pl.BlockSpec((1, tp + 2, 3 * m), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, xwr, 3 * m), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(w1p.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -325,7 +446,7 @@ def fused_block1_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
             jnp.bfloat16 if quantize else compute_dtype),
         scratch_shapes=[
             pltpu.VMEM((rows1, 3 * m), in_dtype),               # xc
-            pltpu.VMEM((mp * tc, 12 * c), in_dtype),            # y9
+            scratch2,                                           # y9 / y5
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
