@@ -20,6 +20,19 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's wall time is dominated
+# by recompiling the same runner-E2E graphs (~90 s each) on every run;
+# with the cache warm the full suite drops from ~35 min to minutes.
+# Keys hash the optimized HLO, so source changes recompile as usual.
+# Opt out with TTG_TEST_NO_COMPILE_CACHE=1 (e.g. to time cold compiles).
+if not os.environ.get("TTG_TEST_NO_COMPILE_CACHE"):
+    _cache_dir = os.path.join(os.path.dirname(__file__), os.pardir,
+                              ".cache", "jax")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np
 import pytest
 
