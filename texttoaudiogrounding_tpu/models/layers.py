@@ -18,6 +18,43 @@ import jax.numpy as jnp
 xavier_uniform = nn.initializers.xavier_uniform()
 
 
+class _FusedBNPool(nn.Module):
+    """Train-mode BN -> relu -> dual pool via the Pallas custom VJP
+    (ops/pallas/bn_pool.py).  Declares the same param/batch_stats tree
+    as ``nn.BatchNorm`` (scale/bias/mean/var) so checkpoints are
+    interchangeable with the plain path; updates running stats with
+    flax semantics (momentum * ra + (1-momentum) * batch_stat)."""
+
+    pool: tuple
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
+        from texttoaudiogrounding_tpu.ops.pallas.bn_pool import (
+            bn_relu_dual_pool)
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        interp = os.environ.get("TTG_PALLAS_INTERPRET") == "1"
+        out, mean, var = bn_relu_dual_pool(
+            x, scale, bias, pool=self.pool, eps=self.epsilon,
+            interpret=interp)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * mean
+            ra_var.value = m * ra_var.value + (1 - m) * var
+        return out
+
+
 class ConvBlock(nn.Module):
     """PANNs double-conv block: (conv3x3 → BN → ReLU) x2 → pool.
 
@@ -39,6 +76,22 @@ class ConvBlock(nn.Module):
         import os
         flag = os.environ.get("TTG_POOL_VJP", "")
         if not flag or pool_type != "avg+max" or self.is_initializing():
+            return False
+        try:
+            chans = {int(v) for v in flag.replace(",", " ").split()}
+        except ValueError:
+            return False
+        return (self.out_channels in chans
+                and tuple(pool_size) in ((2, 2), (1, 2)))
+
+    def _bn_pool_ok(self, bn_train, pool_size, pool_type) -> bool:
+        """TTG_BN_POOL = channel list (e.g. "64" or "64,128,256,512")
+        opting blocks into the fused train-BN+relu+dual-pool custom VJP
+        (ops/pallas/bn_pool.py) — the round-5 block1-backward kernel."""
+        import os
+        flag = os.environ.get("TTG_BN_POOL", "")
+        if (not flag or not bn_train or pool_type != "avg+max"
+                or self.is_initializing()):
             return False
         try:
             chans = {int(v) for v in flag.replace(",", " ").split()}
@@ -181,10 +234,18 @@ class ConvBlock(nn.Module):
         # dtype threads through BN too: mixed f32 BN between bf16 convs
         # forces dtype converts that cost more than the bf16 win
         pool_vjp = self._pool_vjp_ok(pool_size, pool_type)
+        bn_pool = self._bn_pool_ok(bn_train, pool_size, pool_type)
         for name in ("conv1", "conv2"):
             x = nn.Conv(self.out_channels, (3, 3), use_bias=False,
                         padding="SAME", kernel_init=xavier_uniform,
                         dtype=self.dtype, name=name)(x)
+            if (name == "conv2" and bn_pool
+                    and self._pool_vjp_shape(x, pool_size)):
+                # fused train-BN + relu + dual pool custom VJP: one
+                # Pallas pass each way + closed-form BN backward —
+                # replaces the BN-stat/SelectAndScatter chain that the
+                # round-5 bisect measured at ~25 ms of block1's 46.6
+                return _FusedBNPool(tuple(pool_size), name="bn2")(x)
             x = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name=name.replace("conv", "bn"))(x)

@@ -80,14 +80,17 @@ def wrap_calls(fn: Callable, mesh: Optional[Mesh],
 
 def maybe_shard(fn: Callable, args: Sequence,
                 in_dims: Sequence[Optional[int]],
-                out_dim: int = 0):
+                out_dim: int = 0,
+                out_dims: Optional[Sequence[Optional[int]]] = None):
     """Run ``fn(*args)`` shard_mapped over the active kernel mesh.
 
     ``in_dims[i]`` is the batch-dim index of ``args[i]`` (``None`` =
     replicated operand, e.g. weights); ``out_dim`` the batch dim of the
-    single array output.  Falls back to the plain call when no mesh is
-    active or any batch dim doesn't divide the axis size.  The context
-    is cleared inside so the entry point doesn't re-wrap recursively.
+    single array output — or pass ``out_dims`` when ``fn`` returns a
+    tuple of arrays (one batch-dim index per output).  Falls back to
+    the plain call when no mesh is active or any batch dim doesn't
+    divide the axis size.  The context is cleared inside so the entry
+    point doesn't re-wrap recursively.
     """
     ctx = _ACTIVE.get()
 
@@ -111,9 +114,11 @@ def maybe_shard(fn: Callable, args: Sequence,
     def spec(d):
         return P() if d is None else P(*([None] * d), axis)
 
+    out_specs = (tuple(spec(d) for d in out_dims)
+                 if out_dims is not None else spec(out_dim))
     return jax.shard_map(
         plain, mesh=mesh,
         in_specs=tuple(spec(d) for d in in_dims),
-        out_specs=spec(out_dim),
+        out_specs=out_specs,
         check_vma=False,  # pallas outputs carry no vma; see module doc
     )(*args)
