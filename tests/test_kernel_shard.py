@@ -266,3 +266,30 @@ def test_mesh_serving_with_fused_kernels_matches_single(monkeypatch):
     assert p_shard.shape == p_plain.shape
     # int8/bf16 fused serving tolerance (STATUS.md parity-at-scale table)
     assert np.max(np.abs(p_shard - p_plain)) < 0.05
+
+
+def test_bn_pool_vjp_sharded_grads_match():
+    """bn_relu_dual_pool under the kernel mesh: fwd AND the full
+    gradient set (x, scale, bias — incl. the psummed stat-grad
+    partials) match the unsharded op."""
+    from texttoaudiogrounding_tpu.ops.pallas.bn_pool import (
+        bn_relu_dual_pool)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(8, 8, 64, 64)), jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, 64), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=64) * 0.1, jnp.float32)
+
+    def f(x, s, b):
+        out, _, _ = bn_relu_dual_pool(x, s, b, pool=(2, 2),
+                                      interpret=True)
+        return jnp.sum(out ** 2)
+
+    ref, ref_g = jax.value_and_grad(f, argnums=(0, 1, 2))(x, scale, bias)
+    with kernel_mesh(_mesh()):
+        got, got_g = jax.value_and_grad(f, argnums=(0, 1, 2))(
+            x, scale, bias)
+    # sharded loss-sum reduction order differs (psum tree): ~3e-6 rel
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    for gg, rg in zip(got_g, ref_g):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(rg),
+                                   rtol=1e-5, atol=1e-5)

@@ -127,9 +127,10 @@ def _run_fwd(x4, ab, pt, tc, interpret, packed):
         out_rows, lanes = (t // pt) * m2, c
 
     def call(xf, ab):
+        bl = xf.shape[0]          # LOCAL batch (shard_map passes shards)
         return pl.pallas_call(
             kern,
-            grid=(b, t // tc),
+            grid=(bl, t // tc),
             in_specs=[
                 pl.BlockSpec((1, rows_in, lanes), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
@@ -138,7 +139,7 @@ def _run_fwd(x4, ab, pt, tc, interpret, packed):
             ],
             out_specs=pl.BlockSpec((1, rows_out, cw),
                                    lambda i, j: (i, j, 0)),
-            out_shape=jax.ShapeDtypeStruct((b, out_rows, cw), x4.dtype),
+            out_shape=jax.ShapeDtypeStruct((bl, out_rows, cw), x4.dtype),
             interpret=interpret,
         )(xf, ab)
 
@@ -243,10 +244,7 @@ def _run_bwd(x4, g4, ab, pt, tc, interpret, packed):
             pl.BlockSpec((1, tc // 2, 64, 128), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 16, 128), lambda i, j: (i, j, 0, 0)),
         )
-        out_shape = (
-            jax.ShapeDtypeStruct((b, t // 2, 64, 128), x4.dtype),
-            jax.ShapeDtypeStruct((b, nchunk, 16, 128), jnp.float32),
-        )
+        dz_dims = (t // 2, 64, 128)
     else:
         xf = x4.reshape(b, t * m, c)
         gf = g4.reshape(b, (t // pt) * m2, c)
@@ -256,25 +254,21 @@ def _run_bwd(x4, g4, ab, pt, tc, interpret, packed):
         if pt == 2:
             dspec = pl.BlockSpec((1, tc // pt, pt * m2, 2 * c),
                                  lambda i, j: (i, j, 0, 0))
-            dshape = jax.ShapeDtypeStruct((b, t // pt, pt * m2, 2 * c),
-                                          x4.dtype)
+            dz_dims = (t // pt, pt * m2, 2 * c)
         else:
             dspec = pl.BlockSpec((1, tc * m2, 2 * c),
                                  lambda i, j: (i, j, 0))
-            dshape = jax.ShapeDtypeStruct((b, t * m2, 2 * c), x4.dtype)
+            dz_dims = (t * m2, 2 * c)
         out_specs = (
             dspec,
             pl.BlockSpec((1, 1, 16, c), lambda i, j: (i, j, 0, 0)),
         )
-        out_shape = (
-            dshape,
-            jax.ShapeDtypeStruct((b, nchunk, 16, c), jnp.float32),
-        )
 
     def call(xf, gf, ab):
+        bl = xf.shape[0]          # LOCAL batch (shard_map passes shards)
         return pl.pallas_call(
             kern,
-            grid=(b, nchunk),
+            grid=(bl, nchunk),
             in_specs=[
                 pl.BlockSpec((1, in_rows, lanes), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
@@ -284,7 +278,11 @@ def _run_bwd(x4, g4, ab, pt, tc, interpret, packed):
                              memory_space=pltpu.VMEM),
             ],
             out_specs=out_specs,
-            out_shape=out_shape,
+            out_shape=(
+                jax.ShapeDtypeStruct((bl,) + dz_dims, x4.dtype),
+                jax.ShapeDtypeStruct((bl, nchunk, 16, lanes if packed
+                                      else c), jnp.float32),
+            ),
             interpret=interpret,
         )(xf, gf, ab)
 
