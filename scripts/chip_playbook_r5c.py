@@ -1,0 +1,64 @@
+"""Round-5 on-chip queue, part C: bf16-block1 inside int8 serving.
+
+probe_block1_single (chip_playbook_r5, 2026-08-20) measured the bf16
+pair kernel FASTER than int8 standalone (10.20 vs 12.31 ms incl. XLA
+prep) — the int8 quantize epilogue costs more than the int8 dot-rate
+gain at block1's geometry.  This playbook answers "does it hold
+in-model?" with a same-session A/B, plus the /verify drive:
+
+  - bench.py default (int8 everywhere)            — the r4 config
+  - bench.py TTG_B1_QUANT=0 (bf16 block1, int8 2-4)
+  - verify_e2e_tpu.py with TTG_B1_QUANT=0          — train+eval+parity
+
+Steps run as subprocesses to completion — NEVER timeout-killed
+(mid-claim SIGKILL wedges the axon relay; CLAUDE.md host-side pitfalls).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import time
+
+STEPS = [
+    ("bench default int8", {}, ["python", "bench.py"], 2400),
+    ("bench b1-bf16", {"TTG_B1_QUANT": "0"}, ["python", "bench.py"], 2400),
+    ("verify e2e b1-bf16", {"TTG_B1_QUANT": "0"},
+     ["python", "scripts/verify_e2e_tpu.py"], 3600),
+]
+
+
+def main():
+    log = open("/tmp/chip_playbook_r5c.log", "a")
+
+    def emit(msg):
+        print(msg, flush=True)
+        log.write(msg + "\n")
+        log.flush()
+
+    emit(f"==== chip playbook r5c @ {time.ctime()} ====")
+    for idx, (name, env, cmd, tmo) in enumerate(STEPS):
+        emit(f"\n---- {name}: {' '.join(cmd)} env={env} ----")
+        t0 = time.time()
+        step_log = f"/tmp/chip_playbook_r5c_step{idx}.log"
+        with open(step_log, "w") as lf:
+            proc = subprocess.Popen(
+                cmd, env={**os.environ, **env}, cwd="/root/repo",
+                stdout=lf, stderr=subprocess.STDOUT, text=True)
+            warned = False
+            while proc.poll() is None:
+                if not warned and time.time() - t0 > tmo:
+                    emit(f"[soft deadline {tmo}s passed — NOT killing; "
+                         f"still waiting, log: {step_log}]")
+                    warned = True
+                time.sleep(5)
+        tail = open(step_log).read().strip().splitlines()
+        emit("\n".join(tail[-30:]))
+        if proc.returncode != 0:
+            emit(f"[exit {proc.returncode}]")
+        emit(f"[{time.time() - t0:.0f}s]")
+    emit(f"==== done @ {time.ctime()} ====")
+
+
+if __name__ == "__main__":
+    main()

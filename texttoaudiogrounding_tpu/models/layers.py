@@ -143,9 +143,17 @@ class ConvBlock(nn.Module):
                                   bs["bn1"]["mean"], bs["bn1"]["var"])
                     ab2 = fold_bn(p["bn2"]["scale"], p["bn2"]["bias"],
                                   bs["bn2"]["mean"], bs["bn2"]["var"])
+                    # TTG_B1_QUANT=0 runs block1 in bf16 inside int8
+                    # serving: the round-5 A/B (probe_block1_single)
+                    # measured the bf16 pair kernel FASTER standalone
+                    # (10.2 vs 12.3 ms) — the int8 quantize epilogue
+                    # costs more than the int8 dot-rate gain at this
+                    # geometry
+                    q1 = quantize and os.environ.get(
+                        "TTG_B1_QUANT", "1") != "0"
                     return fused_block1_pair(
                         x[..., 0], p["conv1"]["kernel"], ab1,
-                        p["conv2"]["kernel"], ab2, quantize=quantize,
+                        p["conv2"]["kernel"], ab2, quantize=q1,
                         compute_dtype=self.dtype,
                         mode=os.environ.get("TTG_B1_MODE", "triple"))
                 ok = False

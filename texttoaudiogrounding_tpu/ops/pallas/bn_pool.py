@@ -33,6 +33,17 @@ batch-stat paths) is implemented in closed form:
 Reference semantics: models/panns.py:37-57 (conv block BN/relu/pool),
 models/audio_encoder.py:202-211 (train-mode batch stats).
 
+**Measured closure verdict (2026-08-20, chip_playbook_r5b on v5e,
+B=128)**: LOSES in-chain and at step level — block1 chain fwd+bwd
+50.0 ms vs 46.5 XLA (round-4 poolvjp: 57.8); full bf16 train step
+153.3 ms (block1 only) / 170.8 (all blocks) vs 140.0-140.4 default.
+Convergence under the kernel is trajectory-equal (ab_gru_convergence),
+so the loss is pure throughput: XLA's conv-fused BN/relu/pool forward
+AND backward remain the fastest known training form on v5e, even
+against a single-pass custom VJP with closed-form BN grads.  The
+kernel stays as a parity-tested opt-in (``TTG_BN_POOL``); do NOT
+route it by default.
+
 Layouts reuse ``dual_pool.py``'s (same pickers, same free reshapes):
 packed block1 (M == C == 64, pool (2,2), lane = (m parity)*64 + c) and
 the generic C >= 128 paths for pool (2,2) / (1,2).  The backward
