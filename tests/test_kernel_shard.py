@@ -220,11 +220,15 @@ def test_wrap_calls_restores_context():
     assert wrap_calls(probe, get_mesh(jax.devices()[:1])) is probe
 
 
-def test_mesh_serving_with_fused_kernels_matches_single(monkeypatch):
+@pytest.mark.parametrize("b1_quant", ["1", "0"])
+def test_mesh_serving_with_fused_kernels_matches_single(
+        monkeypatch, b1_quant):
     """Full serving path: GroundingPredictor(mesh=...) with the fused
     int8 conv kernels + Pallas GRU routed (interpret mode via
     ``TTG_PALLAS_INTERPRET=1``) reproduces the single-device plain-XLA
-    predictions within fused-serving tolerance."""
+    predictions within fused-serving tolerance.  ``b1_quant="0"`` pins
+    the TTG_B1_QUANT=0 production combo (bf16 block1 inside int8
+    serving — the round-5 on-chip winner)."""
     from texttoaudiogrounding_tpu.data.tokenizer import DictTokenizer
     from texttoaudiogrounding_tpu.data.vocabulary import Vocabulary
     from texttoaudiogrounding_tpu.inference import GroundingPredictor
@@ -260,6 +264,7 @@ def test_mesh_serving_with_fused_kernels_matches_single(monkeypatch):
 
     monkeypatch.setenv("TTG_PALLAS_INTERPRET", "1")
     monkeypatch.setenv("TTG_FUSED_CONV", "int8")
+    monkeypatch.setenv("TTG_B1_QUANT", b1_quant)
     sharded = GroundingPredictor(build(jnp.bfloat16), variables, tok,
                                  mesh=_mesh())
     p_shard = sharded.predict(audio, lens, text)

@@ -77,6 +77,21 @@ def test_block1_single_mode_int8_close():
     assert rms < 0.05, rms
 
 
+def test_block1_bf16_close():
+    # the TTG_B1_QUANT=0 serving path (bf16 compute, bf16 pool chain):
+    # round-5 on-chip A/B measured it faster than int8 at block1's
+    # geometry (the int8 quantize epilogue costs more than the int8
+    # dot-rate gain) — this pins its numerics within bf16 noise
+    x, w1, ab1, w2, ab2 = _case1(37)
+    ref = np.asarray(xla_ref(jnp.asarray(x), jnp.asarray(w1), ab1,
+                             jnp.asarray(w2), ab2))
+    got = np.asarray(fused_block1_pair(
+        jnp.asarray(x[..., 0]), w1, ab1, w2, ab2, quantize=False,
+        tc=16, compute_dtype=jnp.bfloat16, interpret=True), np.float32)
+    rms = np.sqrt(np.mean((got - ref) ** 2)) / np.sqrt(np.mean(ref ** 2))
+    assert rms < 0.02, rms
+
+
 def test_block1_rejects_bad_geometry():
     x, w1, ab1, w2, ab2 = _case1(32)
     with pytest.raises(ValueError):

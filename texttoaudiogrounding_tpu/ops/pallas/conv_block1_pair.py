@@ -199,9 +199,9 @@ def _kernel(xw_ref, w1_ref, w2_ref, ab1_ref, ab2_ref, sx_ref,
 
     a2 = ab2_ref[0:1] * sy if quantize else ab2_ref[0:1]
     y2 = jnp.maximum(acc2.astype(jnp.float32) * a2 + ab2_ref[1:2], 0.0)
-    if quantize:
-        # pool in bf16: halves the bytes of the reshape/lane-half chain
-        y2 = y2.astype(jnp.bfloat16)
+    # pool in the output dtype (bf16 in both serving modes): halves the
+    # bytes of the reshape/lane-half chain vs pooling in f32
+    y2 = y2.astype(out_ref.dtype)
 
     if stages <= 3:   # probe ablation: skip pool + packed out stores
         out_ref[0, 0, :, :] = y2[:tc // 2].astype(out_ref.dtype)
@@ -311,8 +311,7 @@ def _kernel_single(xw_ref, w1_ref, w2_ref, ab1_ref, ab2_ref, sx_ref,
 
     a2 = ab2_ref[0:1] * sy if quantize else ab2_ref[0:1]
     y2 = jnp.maximum(acc2.astype(jnp.float32) * a2 + ab2_ref[1:2], 0.0)
-    if quantize:
-        y2 = y2.astype(jnp.bfloat16)
+    y2 = y2.astype(out_ref.dtype)
 
     # pool: time pairs via the row-merge reshape (rows_b is even, so
     # pairs never cross blocks; the first and last pair of each block
