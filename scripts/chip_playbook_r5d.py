@@ -17,13 +17,16 @@ import subprocess
 import time
 
 STEPS = [
+    # new default (bf16 block1 inside int8 serving) — confirms the
+    # TTG_B1_QUANT default flip routes and reproduces r5c's 4240
+    ("bench new-default B=128", {}, ["python", "bench.py"], 2400),
     ("block1 bf16 stages+tc", {},
      ["python", "scripts/probe_block1_bf16.py"], 2400),
-    ("bench b1-bf16 B=144", {"TTG_B1_QUANT": "0", "BENCH_BATCH": "144"},
+    ("bench b1-bf16 B=144", {"BENCH_BATCH": "144"},
      ["python", "bench.py"], 2400),
-    ("bench b1-bf16 B=160", {"TTG_B1_QUANT": "0", "BENCH_BATCH": "160"},
+    ("bench b1-bf16 B=160", {"BENCH_BATCH": "160"},
      ["python", "bench.py"], 2400),
-    ("bench b1-bf16 B=192", {"TTG_B1_QUANT": "0", "BENCH_BATCH": "192"},
+    ("bench b1-bf16 B=192", {"BENCH_BATCH": "192"},
      ["python", "bench.py"], 2400),
 ]
 

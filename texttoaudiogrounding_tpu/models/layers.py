@@ -143,14 +143,16 @@ class ConvBlock(nn.Module):
                                   bs["bn1"]["mean"], bs["bn1"]["var"])
                     ab2 = fold_bn(p["bn2"]["scale"], p["bn2"]["bias"],
                                   bs["bn2"]["mean"], bs["bn2"]["var"])
-                    # TTG_B1_QUANT=0 runs block1 in bf16 inside int8
-                    # serving: the round-5 A/B (probe_block1_single)
-                    # measured the bf16 pair kernel FASTER standalone
-                    # (10.2 vs 12.3 ms) — the int8 quantize epilogue
+                    # block1 runs in bf16 inside int8 serving by
+                    # default: the round-5 on-chip A/B measured the
+                    # bf16 pair kernel faster than int8 both standalone
+                    # (10.2 vs 12.3 ms, probe_block1_single) and
+                    # in-model (bench 4240.1 vs 3929.4 clips/s,
+                    # chip_playbook_r5c) — the int8 quantize epilogue
                     # costs more than the int8 dot-rate gain at this
-                    # geometry
+                    # geometry.  TTG_B1_QUANT=1 restores int8 block1.
                     q1 = quantize and os.environ.get(
-                        "TTG_B1_QUANT", "1") != "0"
+                        "TTG_B1_QUANT", "0") == "1"
                     return fused_block1_pair(
                         x[..., 0], p["conv1"]["kernel"], ab1,
                         p["conv2"]["kernel"], ab2, quantize=q1,
