@@ -56,7 +56,7 @@ def main():
            jnp.zeros((C,), jnp.float32))
 
     for mode in ("triple", "single"):
-        for quant in (True, False):
+        for quant in (True, "conv1", False):
             @jax.jit
             def f(x, cr, mode=mode, quant=quant):
                 out = fused_block1_pair(
@@ -65,7 +65,7 @@ def main():
                 return out, jnp.sum(out[0, 0, 0].astype(jnp.float32))
 
             ms = timeit(f, (x,))
-            tag = "int8" if quant else "bf16"
+            tag = {True: "int8", False: "bf16", "conv1": "mix1"}[quant]
             print(f"block1-pair [{mode:6s} {tag}]: {ms:7.2f} ms "
                   f"({B * 1000 / ms:7.1f} clips/s standalone)",
                   flush=True)

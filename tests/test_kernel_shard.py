@@ -220,7 +220,7 @@ def test_wrap_calls_restores_context():
     assert wrap_calls(probe, get_mesh(jax.devices()[:1])) is probe
 
 
-@pytest.mark.parametrize("b1_quant", ["1", "0"])
+@pytest.mark.parametrize("b1_quant", ["1", "0", "mixed"])
 def test_mesh_serving_with_fused_kernels_matches_single(
         monkeypatch, b1_quant):
     """Full serving path: GroundingPredictor(mesh=...) with the fused
@@ -228,7 +228,8 @@ def test_mesh_serving_with_fused_kernels_matches_single(
     ``TTG_PALLAS_INTERPRET=1``) reproduces the single-device plain-XLA
     predictions within fused-serving tolerance.  ``b1_quant="0"`` pins
     the TTG_B1_QUANT=0 production combo (bf16 block1 inside int8
-    serving — the round-5 on-chip winner)."""
+    serving — the round-5 on-chip winner); ``"mixed"`` pins the int8
+    conv1 + bf16 conv2 block1 variant."""
     from texttoaudiogrounding_tpu.data.tokenizer import DictTokenizer
     from texttoaudiogrounding_tpu.data.vocabulary import Vocabulary
     from texttoaudiogrounding_tpu.inference import GroundingPredictor

@@ -92,6 +92,23 @@ def test_block1_bf16_close():
     assert rms < 0.02, rms
 
 
+@pytest.mark.parametrize("mode", ["triple", "single"])
+def test_block1_mixed_quant_close(mode):
+    # quantize="conv1" (TTG_B1_QUANT=mixed): int8 conv1 dot feeding a
+    # compute-dtype conv2, no y1 requantize — numerics must sit between
+    # the bf16 and all-int8 paths (only x and w1 are quantized)
+    x, w1, ab1, w2, ab2 = _case1(37)
+    ref = np.asarray(xla_ref(jnp.asarray(x), jnp.asarray(w1), ab1,
+                             jnp.asarray(w2), ab2))
+    got = np.asarray(fused_block1_pair(
+        jnp.asarray(x[..., 0]), w1, ab1, w2, ab2, quantize="conv1",
+        tc=16, compute_dtype=jnp.float32, interpret=True, mode=mode),
+        np.float32)
+    assert got.shape == ref.shape
+    rms = np.sqrt(np.mean((got - ref) ** 2)) / np.sqrt(np.mean(ref ** 2))
+    assert rms < 0.03, rms
+
+
 def test_block1_rejects_bad_geometry():
     x, w1, ab1, w2, ab2 = _case1(32)
     with pytest.raises(ValueError):

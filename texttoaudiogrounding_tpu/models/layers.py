@@ -150,9 +150,15 @@ class ConvBlock(nn.Module):
                     # in-model (bench 4240.1 vs 3929.4 clips/s,
                     # chip_playbook_r5c) — the int8 quantize epilogue
                     # costs more than the int8 dot-rate gain at this
-                    # geometry.  TTG_B1_QUANT=1 restores int8 block1.
-                    q1 = quantize and os.environ.get(
-                        "TTG_B1_QUANT", "0") == "1"
+                    # geometry.  TTG_B1_QUANT=1 restores int8 block1;
+                    # =mixed runs int8 conv1 into a bf16 conv2 (the
+                    # round-5e probe: conv1's dot-rate gain without
+                    # the y1 requantize epilogue).
+                    q_env = os.environ.get("TTG_B1_QUANT", "0")
+                    q1 = False
+                    if quantize:
+                        q1 = {"1": True, "mixed": "conv1",
+                              "conv1": "conv1"}.get(q_env, False)
                     return fused_block1_pair(
                         x[..., 0], p["conv1"]["kernel"], ab1,
                         p["conv2"]["kernel"], ab2, quantize=q1,

@@ -110,7 +110,7 @@ def _perm(mp: int) -> list:
 
 def _kernel(xw_ref, w1_ref, w2_ref, ab1_ref, ab2_ref, sx_ref,
             out_ref, xc_ref, y9_ref, *, tc: int, c: int, t_real: int,
-            tp: int, quantize: bool, stages: int = 4):
+            tp: int, q1: bool, q2: bool, stages: int = 4):
     """Grid = (batch, time chunks of tc output frames).
 
     xw: [1, Tp+2, 3M] three-tap packed input (resident per clip).
@@ -127,7 +127,8 @@ def _kernel(xw_ref, w1_ref, w2_ref, ab1_ref, ab2_ref, sx_ref,
     mp = _M // 2
     rows1 = tc + 2                    # conv1 time rows (with halo)
     rowsf = mp * tc                   # flat conv2 rows (no halo)
-    acc_dtype = jnp.int32 if quantize else jnp.float32
+    acc1_dtype = jnp.int32 if q1 else jnp.float32
+    acc2_dtype = jnp.int32 if q2 else jnp.float32
     perm = _perm(mp)
 
     # stage this chunk's packed-input window (tiny: [tc+2, 192])
@@ -136,18 +137,18 @@ def _kernel(xw_ref, w1_ref, w2_ref, ab1_ref, ab2_ref, sx_ref,
     # ---- conv1: ONE banded K=3M dot -> [tc+2, (M+2)*C] ----
     acc1 = jax.lax.dot_general(
         xc_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype)
+        preferred_element_type=acc1_dtype)
 
     if stages <= 0:   # probe ablation: conv1 dot only, no epilogue
         out_ref[0, 0, :, :] = acc1[:tc // 2, :2 * c].astype(out_ref.dtype)
         return
 
-    if quantize:
+    if q1:
         a1 = ab1_ref[0:1] * sx_ref[pl.program_id(0), 0]
     else:
         a1 = ab1_ref[0:1]
     y1f = acc1.astype(jnp.float32) * a1 + ab1_ref[1:2]
-    if quantize:
+    if q2:
         # the lower quantization clip realizes the ReLU (pad columns
         # carry a = b = 0, so they stay exactly zero)
         sy = jnp.maximum(jnp.max(y1f), 1e-6) / 127.0
@@ -195,9 +196,9 @@ def _kernel(xw_ref, w1_ref, w2_ref, ab1_ref, ab2_ref, sx_ref,
     # ---- conv2: ONE K=12C dot over the flat layout ----
     acc2 = jax.lax.dot_general(
         y9_ref[...], w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype)
+        preferred_element_type=acc2_dtype)
 
-    a2 = ab2_ref[0:1] * sy if quantize else ab2_ref[0:1]
+    a2 = ab2_ref[0:1] * sy if q2 else ab2_ref[0:1]
     y2 = jnp.maximum(acc2.astype(jnp.float32) * a2 + ab2_ref[1:2], 0.0)
     # pool in the output dtype (bf16 in both serving modes): halves the
     # bytes of the reshape/lane-half chain vs pooling in f32
@@ -224,7 +225,7 @@ def _kernel(xw_ref, w1_ref, w2_ref, ab1_ref, ab2_ref, sx_ref,
 
 def _kernel_single(xw_ref, w1_ref, w2_ref, ab1_ref, ab2_ref, sx_ref,
                    out_ref, xc_ref, y5_ref, *, tc: int, c: int,
-                   t_real: int, tp: int, quantize: bool):
+                   t_real: int, tp: int, q1: bool, q2: bool):
     """Single-store variant (round 5): y1 is stored ONCE per mel-pair
     block as a flat ``[mp*(tc+4), 4C]`` halo layout (local row l of
     block r holds y1[t = j*tc - 2 + l, win(r)]; halo 2 rows on each
@@ -242,7 +243,8 @@ def _kernel_single(xw_ref, w1_ref, w2_ref, ab1_ref, ab2_ref, sx_ref,
     rows_b = tc + 4                   # rows per mel-pair block (halo 2+2)
     rt = mp * rows_b                  # flat conv2 rows
     off = 8                           # front pad rows of y5 (dt-1 slice)
-    acc_dtype = jnp.int32 if quantize else jnp.float32
+    acc1_dtype = jnp.int32 if q1 else jnp.float32
+    acc2_dtype = jnp.int32 if q2 else jnp.float32
     perm = _perm(mp)
 
     # stage this chunk's packed-input window ([tc+4, 192]; row v of xw
@@ -252,13 +254,13 @@ def _kernel_single(xw_ref, w1_ref, w2_ref, ab1_ref, ab2_ref, sx_ref,
     # ---- conv1: ONE banded K=3M dot -> [tc+4, (M+2)*C] ----
     acc1 = jax.lax.dot_general(
         xc_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype)
-    if quantize:
+        preferred_element_type=acc1_dtype)
+    if q1:
         a1 = ab1_ref[0:1] * sx_ref[pl.program_id(0), 0]
     else:
         a1 = ab1_ref[0:1]
     y1f = acc1.astype(jnp.float32) * a1 + ab1_ref[1:2]
-    if quantize:
+    if q2:
         sy = jnp.maximum(jnp.max(y1f), 1e-6) / 127.0
         y1v = jnp.clip(jnp.round(y1f * (1.0 / sy)), 0.0, 127.0).astype(
             jnp.int8)
@@ -301,15 +303,15 @@ def _kernel_single(xw_ref, w1_ref, w2_ref, ab1_ref, ab2_ref, sx_ref,
     # outputs that the pool slice discards) ----
     acc2 = jax.lax.dot_general(
         y5_ref[off - 1:off - 1 + rt], w2_ref[0:4 * c],
-        (((1,), (0,)), ((), ())), preferred_element_type=acc_dtype)
+        (((1,), (0,)), ((), ())), preferred_element_type=acc2_dtype)
     acc2 = acc2 + jax.lax.dot_general(
         y5_ref[off:off + rt], w2_ref[4 * c:8 * c],
-        (((1,), (0,)), ((), ())), preferred_element_type=acc_dtype)
+        (((1,), (0,)), ((), ())), preferred_element_type=acc2_dtype)
     acc2 = acc2 + jax.lax.dot_general(
         y5_ref[off + 1:off + 1 + rt], w2_ref[8 * c:12 * c],
-        (((1,), (0,)), ((), ())), preferred_element_type=acc_dtype)
+        (((1,), (0,)), ((), ())), preferred_element_type=acc2_dtype)
 
-    a2 = ab2_ref[0:1] * sy if quantize else ab2_ref[0:1]
+    a2 = ab2_ref[0:1] * sy if q2 else ab2_ref[0:1]
     y2 = jnp.maximum(acc2.astype(jnp.float32) * a2 + ab2_ref[1:2], 0.0)
     y2 = y2.astype(out_ref.dtype)
 
@@ -330,7 +332,7 @@ def _kernel_single(xw_ref, w1_ref, w2_ref, ab1_ref, ab2_ref, sx_ref,
 
 def fused_block1_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
                       w2: jax.Array, ab2: tuple, *,
-                      quantize: bool = False, tc: int = 48,
+                      quantize: bool | str = False, tc: int = 48,
                       compute_dtype: jnp.dtype = jnp.bfloat16,
                       interpret: bool | None = None, mode: str = "triple",
                       _stages: int = 4, _raw_out: bool = False) -> jax.Array:
@@ -341,6 +343,14 @@ def fused_block1_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
     ``[3, 3, 1, C]``, w2 ``[3, 3, C, C]`` HWIO with C = 64; ab:
     ``(a, b)`` folded BN affines (:func:`fold_bn`).  Returns
     ``[B, T//2, 32, C]``.  Serving only (running BN stats).
+
+    ``quantize``: ``False`` = all-``compute_dtype``; ``True`` = int8
+    operands on both conv dots (per-clip input scale, per-chunk y1
+    requantize); ``"conv1"`` = MIXED — int8 conv1 dot (the x quantize
+    is XLA-side and the weight-scale dequant folds into the BN affine)
+    feeding a ``compute_dtype`` conv2, skipping the per-chunk y1
+    requantize epilogue entirely (the round-5 bisect found that
+    epilogue is what made all-int8 lose to bf16 at this geometry).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -360,6 +370,10 @@ def fused_block1_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
             (0, None, None, None, None, None, None))
     if mode not in ("triple", "single"):
         raise ValueError(f"unknown block1 pair mode: {mode!r}")
+    if quantize not in (False, True, "conv1"):
+        raise ValueError(f"unknown quantize mode: {quantize!r}")
+    q1 = quantize in (True, "conv1")  # int8 conv1 dot (x + w1 int8)
+    q2 = quantize is True             # int8 conv2 dot (y1 requantized)
 
     b, t, m = x.shape
     if m != _M:
@@ -378,16 +392,18 @@ def fused_block1_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
     a2, b2 = (jnp.asarray(v, jnp.float32) for v in ab2)
     a1t = jnp.pad(jnp.tile(a1, m), (c, c))   # zero affine on the N pads
     b1t = jnp.pad(jnp.tile(b1, m), (c, c))
-    if quantize:
+    if q1:
         s1 = jnp.maximum(jnp.max(jnp.abs(w1p), axis=0), 1e-8) / 127.0
-        s2 = jnp.maximum(jnp.max(jnp.abs(w2p), axis=0), 1e-8) / 127.0
         a1t = a1t * s1
-        a2t = jnp.tile(a2, 2) * s2
         w1p = _quant_i8(w1p, 1.0 / s1[None])
+    else:
+        w1p = w1p.astype(compute_dtype)
+    if q2:
+        s2 = jnp.maximum(jnp.max(jnp.abs(w2p), axis=0), 1e-8) / 127.0
+        a2t = jnp.tile(a2, 2) * s2
         w2p = _quant_i8(w2p, 1.0 / s2[None])
     else:
         a2t = jnp.tile(a2, 2)
-        w1p = w1p.astype(compute_dtype)
         w2p = w2p.astype(compute_dtype)
     ab1v = jnp.stack([a1t, b1t])
     ab2v = jnp.stack([a2t, jnp.tile(b2, 2)])
@@ -396,7 +412,7 @@ def fused_block1_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
     # concat copies move 1-byte lanes): xw[v] = [X[v-2] | X[v-1] | X[v]]
     # (triple mode; single mode shifts one row earlier so chunk j's
     # conv1 rows cover y1 times j*tc-2 .. j*tc+tc-1)
-    if quantize:
+    if q1:
         sx = jnp.maximum(jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True),
                          1e-6) / 127.0
         xq = _quant_i8(x.astype(jnp.float32), 1.0 / sx)
@@ -410,17 +426,18 @@ def fused_block1_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
     xw = jnp.concatenate(
         [xz[:, :xwr], xz[:, 1:xwr + 1], xz[:, 2:xwr + 2]], axis=-1)
 
-    in_dtype = jnp.int8 if quantize else compute_dtype
+    in_dtype = jnp.int8 if q1 else compute_dtype     # xw / xc lanes
+    y_dtype = jnp.int8 if q2 else compute_dtype      # y1 scratch lanes
     if mode == "single":
         rows1 = tc + 4
         kern = functools.partial(_kernel_single, tc=tc, c=c, t_real=t,
-                                 tp=tp, quantize=quantize)
-        scratch2 = pltpu.VMEM((mp * rows1 + 16, 4 * c), in_dtype)   # y5
+                                 tp=tp, q1=q1, q2=q2)
+        scratch2 = pltpu.VMEM((mp * rows1 + 16, 4 * c), y_dtype)    # y5
     else:
         rows1 = tc + 2
         kern = functools.partial(_kernel, tc=tc, c=c, t_real=t, tp=tp,
-                                 quantize=quantize, stages=_stages)
-        scratch2 = pltpu.VMEM((mp * tc, 12 * c), in_dtype)          # y9
+                                 q1=q1, q2=q2, stages=_stages)
+        scratch2 = pltpu.VMEM((mp * tc, 12 * c), y_dtype)           # y9
     out = pl.pallas_call(
         kern,
         grid=(b, tp // tc),
@@ -442,7 +459,7 @@ def fused_block1_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
                                lambda i, j: (i, 0, j, 0)),
         out_shape=jax.ShapeDtypeStruct(
             (b, mp // 2, tp // 2, 2 * c),
-            jnp.bfloat16 if quantize else compute_dtype),
+            jnp.bfloat16 if q2 else compute_dtype),
         scratch_shapes=[
             pltpu.VMEM((rows1, 3 * m), in_dtype),               # xc
             scratch2,                                           # y9 / y5
