@@ -144,17 +144,17 @@ class ConvBlock(nn.Module):
                     ab2 = fold_bn(p["bn2"]["scale"], p["bn2"]["bias"],
                                   bs["bn2"]["mean"], bs["bn2"]["var"])
                     # block1 runs in bf16 inside int8 serving by
-                    # default: the round-5 on-chip A/B measured the
-                    # bf16 pair kernel faster than int8 both standalone
-                    # (10.2 vs 12.3 ms, probe_block1_single) and
-                    # in-model (bench 4240.1 vs 3929.4 clips/s,
-                    # chip_playbook_r5c) — the int8 quantize epilogue
-                    # costs more than the int8 dot-rate gain at this
-                    # geometry.  TTG_B1_QUANT=1 restores int8 block1;
-                    # =mixed runs int8 conv1 into a bf16 conv2 (the
-                    # round-5e probe: conv1's dot-rate gain without
-                    # the y1 requantize epilogue).
-                    q_env = os.environ.get("TTG_B1_QUANT", "0")
+                    # default "mixed": int8 conv1 dot feeding a bf16
+                    # conv2 — the round-5 on-chip ladder at block1's
+                    # geometry (chip_playbook_r5c/e, standalone and
+                    # in-model bench): all-int8 12.46 ms / 3929 clips/s
+                    # (the y1 requantize epilogue costs more than the
+                    # int8 dot-rate gain), bf16 9.97 / 4248, mixed 9.76
+                    # / 4269 (conv1's int8 dot gain has NO kernel-side
+                    # epilogue: the x quantize is XLA-side and the
+                    # weight-scale dequant folds into the BN affine).
+                    # TTG_B1_QUANT=0 restores bf16, =1 all-int8.
+                    q_env = os.environ.get("TTG_B1_QUANT", "mixed")
                     q1 = False
                     if quantize:
                         q1 = {"1": True, "mixed": "conv1",
@@ -163,6 +163,7 @@ class ConvBlock(nn.Module):
                         x[..., 0], p["conv1"]["kernel"], ab1,
                         p["conv2"]["kernel"], ab2, quantize=q1,
                         compute_dtype=self.dtype,
+                        tc=int(os.environ.get("TTG_B1_TC", "48")),
                         mode=os.environ.get("TTG_B1_MODE", "triple"))
                 ok = False
             elif (x.shape[3] == 64 and self.out_channels % 128 == 0
