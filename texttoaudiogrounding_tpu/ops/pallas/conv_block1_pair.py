@@ -42,6 +42,19 @@ Design — everything register-resident; the input is PRE-conv1 and thus
   already in block2's packed (pooled-pair, parity, channel) lane
   order.  One XLA transpose (quad, time) -> (time, quad) finishes the
   handoff; the block1->block2 reshape chain then collapses to a no-op.
+
+Round-5 on-chip quantization ladder (same-session standalone, B=128,
+T=1001, chip_playbook_r5e): **mixed 9.76 ms** (``quantize="conv1"``,
+the serving default) < bf16 9.97 < all-int8 12.46 — the y1 requantize
+epilogue (per-chunk max-reduce + round/clip on the VPU) costs more
+than int8's conv2 dot-rate gain, while int8 conv1 is pure gain (its
+x-quantize is XLA-side and the weight-scale dequant folds into the BN
+affine).  Stage bisect: conv1 ~3.4-3.6 (incl. input streaming + VPU
+affine), conv2 bf16 4.27 = 97% of bf16 peak, pool 0.6; tc=48 optimal
+in every mode (32/64 worse, probe_block1_{bf16,mixed}).  CLOSED: a
+dense-K=576 per-parity conv2 layout would force N=64 dots (half-empty
+MXU), so the 75%-dense K=768 dot is structurally right — each stage
+sits at a measured floor.
 """
 
 from __future__ import annotations
