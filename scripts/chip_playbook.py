@@ -16,10 +16,11 @@ accumulates in /tmp/chip_playbook.log and is echoed.  Steps:
 
 from __future__ import annotations
 
-import os
-import subprocess
 import sys
-import time
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+from _playbook import run_steps  # noqa: E402
 
 STEPS = [
     ("bench default", {}, ["python", "bench.py"], 1800),
@@ -42,40 +43,7 @@ FULL_STEPS = [
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "quick"
     steps = STEPS + (FULL_STEPS if mode == "full" else [])
-    log = open("/tmp/chip_playbook.log", "a")
-
-    def emit(msg):
-        print(msg, flush=True)
-        log.write(msg + "\n")
-        log.flush()
-
-    emit(f"==== chip playbook {mode} @ {time.ctime()} ====")
-    for idx, (name, env, cmd, tmo) in enumerate(steps):
-        emit(f"\n---- {name}: {' '.join(cmd)} env={env} ----")
-        t0 = time.time()
-        # NEVER timeout-kill a TPU-claiming child (subprocess.run's
-        # timeout SIGKILLs it mid-claim, which wedges the host-side
-        # axon relay — CLAUDE.md).  Run it to completion; past the
-        # soft deadline just warn and keep waiting (the next step
-        # would block on the device claim anyway).
-        step_log = f"/tmp/chip_playbook_step{idx}.log"
-        with open(step_log, "w") as lf:
-            proc = subprocess.Popen(
-                cmd, env={**os.environ, **env}, cwd="/root/repo",
-                stdout=lf, stderr=subprocess.STDOUT, text=True)
-            warned = False
-            while proc.poll() is None:
-                if not warned and time.time() - t0 > tmo:
-                    emit(f"[soft deadline {tmo}s passed — NOT killing "
-                         f"(mid-claim SIGKILL wedges the tunnel); "
-                         f"still waiting, log: {step_log}]")
-                    warned = True
-                time.sleep(5)
-        tail = open(step_log).read().strip().splitlines()
-        emit("\n".join(tail[-25:]))
-        if proc.returncode != 0:
-            emit(f"[exit {proc.returncode}]")
-        emit(f"[{time.time() - t0:.0f}s]")
+    run_steps('', steps)
 
 
 if __name__ == "__main__":

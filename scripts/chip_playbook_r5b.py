@@ -13,10 +13,11 @@ Steps run as subprocesses to completion — NEVER timeout-killed
 
 from __future__ import annotations
 
-import os
-import subprocess
 import sys
-import time
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+from _playbook import run_steps  # noqa: E402
 
 STEPS = [
     ("block1 chain xla/bnpool/poolvjp", {},
@@ -33,35 +34,7 @@ STEPS = [
 
 
 def main():
-    log = open("/tmp/chip_playbook_r5b.log", "a")
-
-    def emit(msg):
-        print(msg, flush=True)
-        log.write(msg + "\n")
-        log.flush()
-
-    emit(f"==== chip playbook r5b @ {time.ctime()} ====")
-    for idx, (name, env, cmd, tmo) in enumerate(STEPS):
-        emit(f"\n---- {name}: {' '.join(cmd)} env={env} ----")
-        t0 = time.time()
-        step_log = f"/tmp/chip_playbook_r5b_step{idx}.log"
-        with open(step_log, "w") as lf:
-            proc = subprocess.Popen(
-                cmd, env={**os.environ, **env}, cwd="/root/repo",
-                stdout=lf, stderr=subprocess.STDOUT, text=True)
-            warned = False
-            while proc.poll() is None:
-                if not warned and time.time() - t0 > tmo:
-                    emit(f"[soft deadline {tmo}s passed — NOT killing; "
-                         f"still waiting, log: {step_log}]")
-                    warned = True
-                time.sleep(5)
-        tail = open(step_log).read().strip().splitlines()
-        emit("\n".join(tail[-30:]))
-        if proc.returncode != 0:
-            emit(f"[exit {proc.returncode}]")
-        emit(f"[{time.time() - t0:.0f}s]")
-    emit(f"==== done @ {time.ctime()} ====")
+    run_steps('r5b', STEPS)
 
 
 if __name__ == "__main__":

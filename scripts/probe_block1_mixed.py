@@ -12,44 +12,20 @@ Usage: python scripts/probe_block1_mixed.py
 from __future__ import annotations
 
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
 
 import jax
 import jax.numpy as jnp
 
-from texttoaudiogrounding_tpu.ops.pallas.conv_block1_pair import (
+from probe_common import B, C, M, T, make_block1_case, timeit  # noqa: E402
+from texttoaudiogrounding_tpu.ops.pallas.conv_block1_pair import (  # noqa: E402
     fused_block1_pair,
 )
 
-B, T, M, C = 128, 1001, 64, 64
-
-
-def timeit(fn, args, iters=20):
-    carry = jnp.float32(0.0)
-    out, carry = fn(*args, carry)
-    float(carry)
-    ms = 0.0
-    for _ in range(2):
-        t0 = time.time()
-        for _ in range(iters):
-            out, carry = fn(*args, carry)
-        float(carry)
-        ms = (time.time() - t0) / iters * 1000.0
-    return ms
-
-
 def main():
-    rng = jax.random.PRNGKey(0)
-    ks = jax.random.split(rng, 6)
-    x = jax.random.normal(ks[0], (B, T, M), jnp.float32)
-    w1 = jax.random.normal(ks[1], (3, 3, 1, C), jnp.float32) * 0.3
-    w2 = jax.random.normal(ks[2], (3, 3, C, C), jnp.float32) * 0.05
-    ab1 = (jax.random.uniform(ks[3], (C,), jnp.float32, 0.5, 1.5),
-           jax.random.normal(ks[4], (C,), jnp.float32) * 0.1)
-    ab2 = (jax.random.uniform(ks[5], (C,), jnp.float32, 0.5, 1.5),
-           jnp.zeros((C,), jnp.float32))
+    x, w1, ab1, w2, ab2 = make_block1_case()
 
     for st in (1, 2, 3, 4):
         def f_k(x, cr, st=st):

@@ -109,6 +109,22 @@ def test_block1_mixed_quant_close(mode):
     assert rms < 0.03, rms
 
 
+def test_block1_truthy_int_quantize_is_all_int8():
+    # review regression: quantize=1 (truthy int) must normalize to the
+    # historical bool contract (all-int8), not silently route to mixed
+    x, w1, ab1, w2, ab2 = _case1(32)
+    a = np.asarray(fused_block1_pair(
+        jnp.asarray(x[..., 0]), w1, ab1, w2, ab2, quantize=1,
+        tc=16, interpret=True), np.float32)
+    b = np.asarray(fused_block1_pair(
+        jnp.asarray(x[..., 0]), w1, ab1, w2, ab2, quantize=True,
+        tc=16, interpret=True), np.float32)
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError):
+        fused_block1_pair(jnp.asarray(x[..., 0]), w1, ab1, w2, ab2,
+                          quantize="both", tc=16, interpret=True)
+
+
 def test_block1_rejects_bad_geometry():
     x, w1, ab1, w2, ab2 = _case1(32)
     with pytest.raises(ValueError):

@@ -70,11 +70,13 @@ class ConvBlock(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
-    def _pool_vjp_ok(self, pool_size, pool_type) -> bool:
-        """TTG_POOL_VJP = channel list (e.g. "128,256,512") opting blocks
-        into the Pallas relu+dual-pool custom VJP (training path)."""
+    def _chan_flag_ok(self, env_name, pool_size, pool_type) -> bool:
+        """Shared gate for the channel-list pool-kernel opt-ins: the env
+        var holds a channel list (e.g. "128,256,512"); a block routes
+        when its out_channels is listed, the pool is the PANNs dual
+        avg+max with a supported size, and we are not initializing."""
         import os
-        flag = os.environ.get("TTG_POOL_VJP", "")
+        flag = os.environ.get(env_name, "")
         if not flag or pool_type != "avg+max" or self.is_initializing():
             return False
         try:
@@ -84,21 +86,18 @@ class ConvBlock(nn.Module):
         return (self.out_channels in chans
                 and tuple(pool_size) in ((2, 2), (1, 2)))
 
+    def _pool_vjp_ok(self, pool_size, pool_type) -> bool:
+        """TTG_POOL_VJP = channel list opting blocks into the Pallas
+        relu+dual-pool custom VJP (training path)."""
+        return self._chan_flag_ok("TTG_POOL_VJP", pool_size, pool_type)
+
     def _bn_pool_ok(self, bn_train, pool_size, pool_type) -> bool:
-        """TTG_BN_POOL = channel list (e.g. "64" or "64,128,256,512")
-        opting blocks into the fused train-BN+relu+dual-pool custom VJP
-        (ops/pallas/bn_pool.py) — the round-5 block1-backward kernel."""
-        import os
-        flag = os.environ.get("TTG_BN_POOL", "")
-        if (not flag or not bn_train or pool_type != "avg+max"
-                or self.is_initializing()):
-            return False
-        try:
-            chans = {int(v) for v in flag.replace(",", " ").split()}
-        except ValueError:
-            return False
-        return (self.out_channels in chans
-                and tuple(pool_size) in ((2, 2), (1, 2)))
+        """TTG_BN_POOL = channel list opting blocks into the fused
+        train-BN+relu+dual-pool custom VJP (ops/pallas/bn_pool.py) —
+        the round-5 block1-backward kernel (measured step-level loss;
+        parity-tested opt-in)."""
+        return bn_train and self._chan_flag_ok(
+            "TTG_BN_POOL", pool_size, pool_type)
 
     def _pool_vjp_shape(self, x, pool_size) -> bool:
         from texttoaudiogrounding_tpu.ops.pallas import dual_pool as dp

@@ -383,8 +383,12 @@ def fused_block1_pair(x: jax.Array, w1: jax.Array, ab1: tuple,
             (0, None, None, None, None, None, None))
     if mode not in ("triple", "single"):
         raise ValueError(f"unknown block1 pair mode: {mode!r}")
-    if quantize not in (False, True, "conv1"):
-        raise ValueError(f"unknown quantize mode: {quantize!r}")
+    if isinstance(quantize, str):
+        if quantize != "conv1":
+            raise ValueError(f"unknown quantize mode: {quantize!r}")
+    else:
+        # normalize truthy/falsy (e.g. 1) to the historical bool contract
+        quantize = bool(quantize)
     q1 = quantize in (True, "conv1")  # int8 conv1 dot (x + w1 int8)
     q2 = quantize is True             # int8 conv2 dot (y1 requantized)
 
