@@ -45,14 +45,19 @@ def _runner(name: str):
         from texttoaudiogrounding_tpu.training.runner_class_mapping import \
             ClassMappingWeakRunner
         return ClassMappingWeakRunner()
-    raise SystemExit(f"unknown runner '{name}'")
+    raise SystemExit(
+        f"unknown runner '{name}' (expected strong | weak_phrase | "
+        "weak_phrase_selfsup | weak_sentence | class_mapping_strong | "
+        "class_mapping_weak | inference)")
 
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = argparse.ArgumentParser(prog="texttoaudiogrounding_tpu")
     parser.add_argument("runner", help="strong | weak_phrase | "
-                        "weak_phrase_selfsup | weak_sentence | inference")
+                        "weak_phrase_selfsup | weak_sentence | "
+                        "class_mapping_strong | class_mapping_weak | "
+                        "inference")
     parser.add_argument("command", nargs="?", default=None,
                         help="train | evaluate | train_evaluate | "
                         "evaluate_psds | evaluate_random | debug | "
